@@ -21,6 +21,10 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+# Geometry matmuls are tiny and precision-critical: force fp32 MXU passes
+# (TPU default bf16 matmul precision loses ~1e-3 relative accuracy).
+_HI = jax.lax.Precision.HIGHEST
 import numpy as np
 
 
@@ -97,7 +101,7 @@ def pose_vec_to_tf(pose: jnp.ndarray) -> jnp.ndarray:
 def transform_points(points: jnp.ndarray, tf: jnp.ndarray) -> jnp.ndarray:
     """Apply a 4x4 transform to (N, 3) points (utils.py:189-199)."""
 
-    return points @ tf[:3, :3].T + tf[:3, 3]
+    return jnp.dot(points, tf[:3, :3].T, precision=_HI) + tf[:3, 3]
 
 
 # ---------------------------------------------------------------------------
@@ -111,7 +115,7 @@ def _pixel_rays(inv_intr: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     gx, gy = jnp.meshgrid(xs, ys)            # (H, W)
     ones = jnp.ones_like(gx)
     p2d = jnp.stack([gx, gy, ones], axis=-1)  # (H, W, 3)
-    return p2d.reshape(-1, 3) @ inv_intr.T    # (H*W, 3)
+    return jnp.dot(p2d.reshape(-1, 3), inv_intr.T, precision=_HI)
 
 
 def depth_to_pointcloud(
@@ -189,7 +193,7 @@ def project_points(
     truncated toward zero.  Returns (px, py, z).
     """
 
-    uvw = points @ intr.T.astype(points.dtype)
+    uvw = jnp.dot(points, intr.T.astype(points.dtype), precision=_HI)
     z = uvw[..., 2]
     u = uvw[..., 0] / z
     v = uvw[..., 1] / z
