@@ -1,0 +1,299 @@
+"""Batched RGB-D frame ingestion into the voxel token store.
+
+This replaces the reference's per-point Python loop (reference
+memory_2.py:842-903, `obs2voxeltoken`) and its 50k-token HDF5 flush
+(memory_2.py:326-358) with ONE vectorized XLA program over a batch of
+frames.  All dynamic-occupancy behavior is expressed as masked,
+deterministic scatters so the program is trace-once / run-many.
+
+Sequential-semantics preservation: points carry a global ``order`` index
+(frame-major); every conflict between points that touch the same voxel is
+resolved exactly as the reference's sequential loop would:
+
+  - first-touch voxel slot assignment == first occurrence in order
+    (memory_2.py:888-894);
+  - token cache: append while count < K in arrival order, then
+    random-index replacement, later point wins a contested index
+    (memory_2.py:345-354, dist-base policy);
+  - top-down cv_map: highest (height, order) wins -- the reference's
+    ``height >= max_height`` overwrite (memory_2.py:901-903);
+  - RGB fusion: associative weighted sums (order-free).
+
+Reference behavioral divergences (deliberate, documented):
+  - the reference DROPS the token of the point that triggers the 50k
+    flush (memory_2.py:880-881 else-branch) -- we don't replicate that
+    off-by-one;
+  - grid_rgb is accumulated in f32 sums, not re-quantized to uint8 per
+    step;
+  - replacement randomness uses a JAX PRNG key, not Python's `random`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from bsc_nav_tpu import geometry as G
+from bsc_nav_tpu.config import Config
+from bsc_nav_tpu.memory.store import VoxelStoreState, linear_voxel_id
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def points_per_frame(cfg: Config) -> int:
+    """Static subsample count: ceil(H*W / depth_sample_rate)
+    (reference memory_2.py:747-749 shuffles pixels then strides)."""
+    hw = cfg.sensor.height * cfg.sensor.width
+    return -(-hw // cfg.memory.depth_sample_rate)
+
+
+def _select_pixels(key: jnp.ndarray, h: int, w: int, n: int) -> jnp.ndarray:
+    """Random pixel subset of size n (flat indices).  The reference
+    shuffles all H*W indices and strides (memory_2.py:747-749); an
+    n-element slice of a permutation is the same distribution."""
+    return jax.random.permutation(key, h * w)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def ingest_frames(
+    state: VoxelStoreState,
+    rgb: jnp.ndarray,          # [B, H, W, 3] uint8
+    depth: jnp.ndarray,        # [B, H, W]    f32 (metres)
+    poses: jnp.ndarray,        # [B, 7]       f32 (px,py,pz,qx,qy,qz,qw)
+    patch_tokens: jnp.ndarray, # [B, nh, nw, D]
+    key: jnp.ndarray,          # PRNG key
+    cfg: Config,
+) -> Tuple[VoxelStoreState, dict]:
+    """Scatter a batch of frames into the store.  Returns (state, stats)."""
+
+    B, H, W = depth.shape
+    mem = cfg.memory
+    Gs, Hc = mem.grid_size, mem.num_height_cells
+    V, K, D = mem.voxel_capacity, mem.cache_size, mem.token_dim
+    nh, nw = patch_tokens.shape[1], patch_tokens.shape[2]
+    P = points_per_frame(cfg)
+    N = B * P
+    zmin, zmax = mem.zmin, mem.zmax
+
+    # --- static transforms ------------------------------------------------
+    base_tf = jnp.asarray(G.base_axes_transform(), jnp.float32)
+    base2cam = jnp.asarray(
+        G.base_to_cam_transform(cfg.sensor.sensor_height), jnp.float32
+    )
+    calib = jnp.asarray(
+        G.camera_intrinsics(H, W, cfg.sensor.hfov_deg), jnp.float32
+    )
+    inv_calib = jnp.asarray(
+        jnp.linalg.inv(calib), jnp.float32
+    )
+    patch_intr = jnp.asarray(G.patch_intrinsics(nh, nw), jnp.float32)
+
+    # --- frame chain: initialize on the very first frame ever ------------
+    inv_init = jnp.where(
+        state.initialized,
+        state.inv_init_base_tf,
+        G.initial_base_inverse(poses[0].astype(jnp.float32), base_tf),
+    )
+    cam2world = jax.vmap(
+        lambda p: G.camera_to_world_transform(
+            p.astype(jnp.float32), inv_init, base_tf, base2cam
+        )
+    )(poses)                                            # [B, 4, 4]
+
+    # --- point selection + backprojection ---------------------------------
+    pix_keys = jax.random.split(key, B + 1)
+    repl_key = pix_keys[0]
+    pix = jax.vmap(lambda k: _select_pixels(k, H, W, P))(pix_keys[1:])  # [B,P]
+    py_img = pix // W
+    px_img = pix % W
+
+    z = jnp.take_along_axis(
+        depth.reshape(B, H * W), pix, axis=1
+    ).astype(jnp.float32)                                # [B, P]
+    uv1 = jnp.stack(
+        [px_img.astype(jnp.float32) + 0.5,
+         py_img.astype(jnp.float32) + 0.5,
+         jnp.ones_like(z)],
+        axis=-1,
+    )                                                    # [B, P, 3]
+    rays = jnp.einsum("bpj,ij->bpi", uv1, inv_calib, precision=_HI)
+    p_local = rays * z[..., None]                        # camera-frame points
+    valid = (z > cfg.sensor.min_depth) & (z < cfg.sensor.max_depth)
+
+    p_world = jnp.einsum(
+        "bpj,bij->bpi", p_local, cam2world[:, :3, :3], precision=_HI
+    ) + cam2world[:, None, :3, 3]
+
+    # --- voxel ids ---------------------------------------------------------
+    rc = G.world_to_grid(p_world, Gs, mem.cell_size)     # [B, P, 3] (r, c, h)
+    valid &= G.grid_in_range(rc, Gs, zmin, zmax)
+    rc = rc.at[..., 2].add(-zmin)                        # shift h >= 0
+
+    # --- patch-token lookup (memory_2.py:869-878) --------------------------
+    ppx, ppy, _ = G.project_points(patch_intr, p_local)
+    valid &= (ppx >= 0) & (ppy >= 0) & (ppx < nw) & (ppy < nh)
+    ppx = jnp.clip(ppx, 0, nw - 1)
+    ppy = jnp.clip(ppy, 0, nh - 1)
+    token = jax.vmap(lambda t, y, x: t[y, x])(
+        patch_tokens, ppy, ppx
+    )                                                    # [B, P, D]
+
+    rgb_v = jnp.take_along_axis(
+        rgb.reshape(B, H * W, 3), pix[..., None], axis=1
+    ).astype(jnp.float32)                                # [B, P, 3]
+
+    radial_sq = jnp.sum(p_local * p_local, axis=-1)
+    alpha = jnp.exp(-radial_sq / (2.0 * mem.alpha_sigma_sq))
+
+    # --- flatten frame-major: order preserves sequential semantics --------
+    rc = rc.reshape(N, 3)
+    valid = valid.reshape(N)
+    token = token.reshape(N, D)
+    rgb_v = rgb_v.reshape(N, 3)
+    alpha = alpha.reshape(N)
+    radial_sq = radial_sq.reshape(N)
+    order = jnp.arange(N, dtype=jnp.int32)
+
+    lid = linear_voxel_id(rc, Gs, Hc)
+    GARBAGE_LID = Gs * Gs * Hc                           # extra slot_map row
+    lid = jnp.where(valid, lid, GARBAGE_LID)
+
+    # ======================================================================
+    # 1. first-touch slot assignment (reference memory_2.py:888-894)
+    # ======================================================================
+    looked = state.slot_map[lid]
+    is_new = valid & (looked == -1)
+
+    # find the FIRST (in arrival order) occurrence of each new voxel id:
+    # sort by (lid, order); run heads have the minimal order of their run.
+    sort_key = jnp.where(is_new, lid, jnp.int32(2**31 - 1))
+    sorted_key, sorted_order = jax.lax.sort((sort_key, order), num_keys=2)
+    live = sorted_key != jnp.int32(2**31 - 1)
+    run_head = live & jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_key[1:] != sorted_key[:-1]]
+    )
+    # back to point order: slots are handed out in ARRIVAL order, exactly
+    # like the reference's max_id counter (memory_2.py:890-894)
+    first_by_point = jnp.zeros((N,), bool).at[sorted_order].set(run_head)
+    arrival_rank = jnp.cumsum(first_by_point.astype(jnp.int32)) - 1
+    n_new_total = jnp.sum(first_by_point.astype(jnp.int32))
+
+    new_slot = state.num_voxels + arrival_rank
+    fits = first_by_point & (new_slot < V)
+    scat_lid = jnp.where(fits, lid, GARBAGE_LID)
+    slot_map = state.slot_map.at[scat_lid].set(
+        jnp.where(fits, new_slot, -1), mode="drop"
+    )
+    # garbage row must stay -1 regardless
+    slot_map = slot_map.at[GARBAGE_LID].set(-1)
+
+    scat_slot = jnp.where(fits, new_slot, V)
+    slot_pos = state.slot_pos.at[scat_slot].set(rc, mode="drop")
+
+    num_voxels = jnp.minimum(state.num_voxels + n_new_total, V)
+    dropped = state.dropped_voxels + jnp.maximum(
+        state.num_voxels + n_new_total - V, 0
+    )
+
+    # re-gather: every valid point now has a slot (or -1 if over capacity)
+    slot = slot_map[lid]
+    valid &= slot >= 0
+    slot_g = jnp.where(valid, slot, V)                   # garbage slot = V
+
+    # ======================================================================
+    # 2. RGB fusion: associative weighted sums (memory_2.py:888-899)
+    # ======================================================================
+    a = jnp.where(valid, alpha, 0.0)
+    rgb_sum = state.rgb_sum.at[slot_g].add(a[:, None] * rgb_v)
+    weight = state.weight.at[slot_g].add(a)
+
+    # ======================================================================
+    # 3. top-down cv_map: (height, order)-max wins (memory_2.py:901-903)
+    # ======================================================================
+    cell = jnp.where(valid, rc[:, 0] * Gs + rc[:, 1], Gs * Gs)
+    ORD = N + 1
+    packed = jnp.where(valid, (rc[:, 2] + 1) * ORD + order, -1)
+    cell_best = jnp.full((Gs * Gs + 1,), -1, jnp.int32).at[cell].max(packed)
+    won = valid & (packed == cell_best[cell]) & (rc[:, 2] >= state.max_height[cell])
+    wcell = jnp.where(won, cell, Gs * Gs)
+    cv_map = state.cv_map.at[wcell].set(
+        jnp.clip(rgb_v, 0, 255).astype(jnp.uint8), mode="drop"
+    )
+    max_height = state.max_height.at[wcell].set(rc[:, 2], mode="drop")
+
+    # ======================================================================
+    # 4. token cache insert: append-then-random-replace (memory_2.py:345-354)
+    # ======================================================================
+    # arrival rank of each point within its voxel this batch
+    skey = jnp.where(valid, slot, jnp.int32(2**31 - 1))
+    s_sorted, o_sorted, idx_sorted = jax.lax.sort(
+        (skey, order, order), num_keys=2
+    )
+    s_live = s_sorted != jnp.int32(2**31 - 1)
+    s_first = s_live & jnp.concatenate(
+        [jnp.ones((1,), bool), s_sorted[1:] != s_sorted[:-1]]
+    )
+    pos_in_sort = jnp.arange(N, dtype=jnp.int32)
+    run_start = jax.lax.cummax(jnp.where(s_first, pos_in_sort, -1))
+    s_rank = pos_in_sort - run_start                     # rank within voxel run
+    # scatter rank back to point order
+    rank_by_point = jnp.zeros((N,), jnp.int32).at[idx_sorted].set(s_rank)
+
+    pos_k = state.feat_count[slot_g] + rank_by_point
+    rand_idx = jax.random.randint(repl_key, (N,), 0, K, dtype=jnp.int32)
+    write_k = jnp.where(pos_k < K, pos_k, rand_idx)
+
+    target = jnp.where(valid, slot_g * K + write_k, (V + 1) * K)
+    cache_best = (
+        jnp.full(((V + 1) * K + 1,), -1, jnp.int32).at[target].max(order)
+    )
+    cache_won = valid & (cache_best[target] == order)
+    wtarget = jnp.where(cache_won, target, (V + 1) * K)
+
+    feats_flat = state.feats.reshape((V + 1) * K, D)
+    feats_flat = feats_flat.at[wtarget].set(
+        token.astype(state.feats.dtype), mode="drop"
+    )
+    feats = feats_flat.reshape(V + 1, K, D)
+
+    tok_norm = jnp.sqrt(
+        jnp.sum(token.astype(jnp.float32) ** 2, axis=-1)
+    )
+    feat_norm = state.feat_norm.reshape(-1).at[wtarget].set(
+        tok_norm, mode="drop"
+    ).reshape(V + 1, K)
+    feat_dist = state.feat_dist.reshape(-1).at[wtarget].set(
+        radial_sq, mode="drop"
+    ).reshape(V + 1, K)
+
+    inserted = jnp.zeros((V + 1,), jnp.int32).at[slot_g].add(
+        valid.astype(jnp.int32)
+    )
+    feat_count = jnp.minimum(state.feat_count + inserted, K)
+
+    new_state = state.replace(
+        feats=feats,
+        feat_norm=feat_norm,
+        feat_dist=feat_dist,
+        feat_count=feat_count,
+        rgb_sum=rgb_sum,
+        weight=weight,
+        slot_pos=slot_pos,
+        slot_map=slot_map,
+        num_voxels=num_voxels,
+        dropped_voxels=dropped,
+        cv_map=cv_map,
+        max_height=max_height,
+        inv_init_base_tf=inv_init,
+        initialized=jnp.ones((), jnp.bool_),
+    )
+    stats = {
+        "points_valid": jnp.sum(valid),
+        "new_voxels": n_new_total,
+        "num_voxels": num_voxels,
+        "dropped_voxels": dropped,
+    }
+    return new_state, stats

@@ -1,0 +1,228 @@
+"""Serialization of the voxel store in the reference's on-disk contract.
+
+Write/read the exact bundle the reference produces per scene
+(reference memory_2.py:1074-1083 `create_memory` epilogue, read back by
+`load_memory` memory_2.py:187-256):
+
+  feat.h5df          HDF5 groups ``grid_{r}_{c}_{h}`` with datasets
+                     ``features`` [n, D] f32 and ``distances`` [n] f32
+  grid_rgb_pos.npy   int32 [max_id, 3] voxel indices
+  grid_rgb.npy       uint8 [max_id, 3] fused colors
+  weight.npy         f32   [max_id]
+  occupied_ids.npy   int32 [G, G, H] voxel -> point id (-1 empty)
+  max_id.npy         scalar
+  original_pos.npy   agent origin position [3]
+  map_height.npy     [minh, maxh]
+  base_height.npy    agent heights sampled during mapping
+  long_memory.json   [{label, loc: [r,c,h], confidence}, ...]
+
+A faster native snapshot (single .npz of the dense store) is also
+provided for intra-framework checkpointing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Optional, Sequence
+
+import h5py
+import numpy as np
+import jax.numpy as jnp
+
+from bsc_nav_tpu.config import MemoryConfig
+from bsc_nav_tpu.memory.store import (
+    VoxelStoreState,
+    fused_rgb,
+    init_store,
+    linear_voxel_id,
+)
+
+
+def save_reference_format(
+    state: VoxelStoreState,
+    path: str,
+    cfg: MemoryConfig,
+    original_pos: Sequence[float],
+    base_height: Sequence[float] = (),
+    long_memory: Optional[List[dict]] = None,
+) -> None:
+    os.makedirs(path, exist_ok=True)
+    n = int(state.num_voxels)
+    pos = np.asarray(state.slot_pos)[:n]
+    counts = np.asarray(state.feat_count)[:n]
+    feats = np.asarray(state.feats, dtype=np.float32)[:n]
+    dists = np.asarray(state.feat_dist)[:n]
+
+    with h5py.File(os.path.join(path, "feat.h5df"), "w") as h5f:
+        for i in range(n):
+            k = int(counts[i])
+            if k == 0:
+                continue
+            g = h5f.create_group(f"grid_{pos[i,0]}_{pos[i,1]}_{pos[i,2]}")
+            g.create_dataset("features", data=feats[i, :k],
+                             maxshape=(None, feats.shape[-1]), chunks=True)
+            g.create_dataset("distances", data=dists[i, :k],
+                             maxshape=(None,), chunks=True)
+
+    np.save(os.path.join(path, "grid_rgb_pos.npy"), pos.astype(np.int32))
+    np.save(os.path.join(path, "grid_rgb.npy"), np.asarray(fused_rgb(state))[:n])
+    np.save(os.path.join(path, "weight.npy"),
+            np.asarray(state.weight, dtype=np.float32)[:n])
+    G, H = cfg.grid_size, cfg.num_height_cells
+    occ = np.asarray(state.slot_map)[: G * G * H].reshape(G, G, H)
+    np.save(os.path.join(path, "occupied_ids.npy"), occ.astype(np.int32))
+    np.save(os.path.join(path, "max_id.npy"), np.array(n))
+    np.save(os.path.join(path, "original_pos.npy"),
+            np.asarray(original_pos, dtype=np.float32))
+    np.save(os.path.join(path, "map_height.npy"),
+            np.array([cfg.zmin, cfg.zmax]))
+    np.save(os.path.join(path, "base_height.npy"),
+            np.asarray(list(base_height), dtype=np.float64))
+    with open(os.path.join(path, "long_memory.json"), "w") as f:
+        json.dump(long_memory or [], f, indent=4)
+
+
+def load_reference_format(path: str, cfg: MemoryConfig,
+                          store_dtype=jnp.float32):
+    """Rebuild a device store from a reference-format bundle.
+
+    Returns (state, meta) with meta = dict(original_pos, base_height,
+    long_memory, map_height)."""
+    n = int(np.load(os.path.join(path, "max_id.npy")))
+    if n > cfg.voxel_capacity:
+        raise ValueError(
+            f"memory at {path} has {n} voxels > capacity {cfg.voxel_capacity}")
+    pos = np.load(os.path.join(path, "grid_rgb_pos.npy"))
+    rgb = np.load(os.path.join(path, "grid_rgb.npy"))
+    weight = np.load(os.path.join(path, "weight.npy"))
+    occ = np.load(os.path.join(path, "occupied_ids.npy"))
+    minh, maxh = np.load(os.path.join(path, "map_height.npy"))
+
+    if (int(minh), int(maxh)) != (cfg.zmin, cfg.zmax):
+        raise ValueError(
+            f"height range mismatch: disk ({minh},{maxh}) vs cfg "
+            f"({cfg.zmin},{cfg.zmax})")
+
+    state = init_store(cfg, store_dtype=store_dtype)
+    V1, K, D = state.feats.shape
+    G, H = cfg.grid_size, cfg.num_height_cells
+
+    feats = np.zeros((V1, K, D), np.float32)
+    dists = np.zeros((V1, K), np.float32)
+    counts = np.zeros((V1,), np.int32)
+
+    # map (r, c, h) -> slot using the saved point ids so slot numbering is
+    # identical to the producing run
+    slot_of = {tuple(pos[i]): i for i in range(n)}
+    with h5py.File(os.path.join(path, "feat.h5df"), "r") as h5f:
+        for name in h5f:
+            if not name.startswith("grid_"):
+                continue
+            _, r, c, h = name.split("_")
+            key = (int(r), int(c), int(h))
+            s = slot_of.get(key)
+            if s is None:
+                continue  # token voxel without RGB point: impossible in
+                          # the producing pipeline, skip defensively
+            f = np.asarray(h5f[name]["features"], np.float32)
+            d = np.asarray(h5f[name]["distances"], np.float32)
+            k = min(len(f), K)
+            feats[s, :k] = f[:k]
+            dists[s, :k] = d[:k]
+            counts[s] = k
+
+    slot_map = np.full((G * G * H + 1,), -1, np.int32)
+    slot_map[: G * G * H] = occ.reshape(-1)
+
+    rgb_sum = np.zeros((V1, 3), np.float32)
+    w = np.zeros((V1,), np.float32)
+    w[:n] = weight
+    rgb_sum[:n] = rgb.astype(np.float32) * weight[:, None]
+    slot_pos = np.zeros((V1, 3), np.int32)
+    slot_pos[:n] = pos
+
+    norms = np.linalg.norm(feats, axis=-1)
+
+    state = state.replace(
+        feats=jnp.asarray(feats, store_dtype),
+        feat_norm=jnp.asarray(norms),
+        feat_dist=jnp.asarray(dists),
+        feat_count=jnp.asarray(counts),
+        rgb_sum=jnp.asarray(rgb_sum),
+        weight=jnp.asarray(w),
+        slot_pos=jnp.asarray(slot_pos),
+        slot_map=jnp.asarray(slot_map),
+        num_voxels=jnp.asarray(n, jnp.int32),
+        initialized=jnp.ones((), jnp.bool_),
+    )
+
+    meta = {
+        "original_pos": np.load(os.path.join(path, "original_pos.npy")),
+        "base_height": np.load(os.path.join(path, "base_height.npy")),
+        "map_height": (int(minh), int(maxh)),
+    }
+    lm_path = os.path.join(path, "long_memory.json")
+    with open(lm_path) as f:
+        meta["long_memory"] = json.load(f)
+    return state, meta
+
+
+# --- fast native snapshot ---------------------------------------------------
+
+def save_npz(state: VoxelStoreState, path: str, **extra) -> None:
+    """Single-file dense snapshot (much faster than the per-group HDF5
+    contract; intra-framework checkpoint format)."""
+    n = int(state.num_voxels)
+    np.savez_compressed(
+        path,
+        num_voxels=n,
+        feats=np.asarray(state.feats)[:n],
+        feat_norm=np.asarray(state.feat_norm)[:n],
+        feat_dist=np.asarray(state.feat_dist)[:n],
+        feat_count=np.asarray(state.feat_count)[:n],
+        rgb_sum=np.asarray(state.rgb_sum)[:n],
+        weight=np.asarray(state.weight)[:n],
+        slot_pos=np.asarray(state.slot_pos)[:n],
+        cv_map=np.asarray(state.cv_map),
+        max_height=np.asarray(state.max_height),
+        inv_init_base_tf=np.asarray(state.inv_init_base_tf),
+        initialized=np.asarray(state.initialized),
+        **extra,
+    )
+
+
+def load_npz(path: str, cfg: MemoryConfig, store_dtype=jnp.float32):
+    z = np.load(path, allow_pickle=False)
+    n = int(z["num_voxels"])
+    state = init_store(cfg, store_dtype=store_dtype)
+    V1, K, D = state.feats.shape
+    G, H = cfg.grid_size, cfg.num_height_cells
+
+    def fill(name, arr):
+        buf = np.asarray(arr)
+        out = np.asarray(getattr(state, name)).copy()
+        out[:n] = buf
+        return jnp.asarray(out)
+
+    pos = np.asarray(z["slot_pos"])
+    slot_map = np.full((G * G * H + 1,), -1, np.int32)
+    lin = (pos[:, 0].astype(np.int64) * G + pos[:, 1]) * H + pos[:, 2]
+    slot_map[lin] = np.arange(n, dtype=np.int32)
+
+    state = state.replace(
+        feats=fill("feats", z["feats"]).astype(store_dtype),
+        feat_norm=fill("feat_norm", z["feat_norm"]),
+        feat_dist=fill("feat_dist", z["feat_dist"]),
+        feat_count=fill("feat_count", z["feat_count"]),
+        rgb_sum=fill("rgb_sum", z["rgb_sum"]),
+        weight=fill("weight", z["weight"]),
+        slot_pos=fill("slot_pos", z["slot_pos"]),
+        slot_map=jnp.asarray(slot_map),
+        num_voxels=jnp.asarray(n, jnp.int32),
+        cv_map=jnp.asarray(z["cv_map"]),
+        max_height=jnp.asarray(z["max_height"]),
+        inv_init_base_tf=jnp.asarray(z["inv_init_base_tf"]),
+        initialized=jnp.asarray(z["initialized"]),
+    )
+    return state

@@ -1,0 +1,105 @@
+"""Query-side localization: query features -> top-K goal voxels.
+
+TPU-native counterpart of the reference's HDF5 scan
+(reference memory_2.py:563-671 `voxel_localized`): the entire
+"pool query tokens -> cosine similarity over every stored token ->
+per-voxel max -> region/floor masks -> top-K" pipeline is ONE XLA
+program over the dense token store, instead of a batched h5py group
+walk.  The big similarity contraction is a [V*K, D] x [D] matvec --
+HBM-bandwidth-bound, ideal for the MXU at bf16.
+
+Masks supported (matching reference semantics):
+  - region radius around the agent's grid cell (memory_2.py:624-629);
+  - floor height range (memory_2.py:633-640);
+both are static-shape boolean masks, not dynamic filtering.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from bsc_nav_tpu.memory.store import VoxelStoreState
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def gaussian_center_pool(tokens: jnp.ndarray) -> jnp.ndarray:
+    """Pool patch tokens with a center-weighted Gaussian over the patch
+    grid, then average across query images (memory_2.py:591-608).
+
+    tokens: [B, T, D] with T a square number.  Returns [D].
+    """
+    B, T, D = tokens.shape
+    g = int(round(T ** 0.5))
+    assert g * g == T, "token count must be a square patch grid"
+    xs = jnp.tile(jnp.arange(g, dtype=jnp.float32), g)
+    ys = jnp.repeat(jnp.arange(g, dtype=jnp.float32), g)
+    center = (g - 1) / 2.0
+    d2 = (xs - center) ** 2 + (ys - center) ** 2
+    sigma = (g / 2.0) ** 2
+    w = jnp.exp(-d2 / (2.0 * sigma))
+    w = w / jnp.sum(w)
+    pooled = jnp.einsum("btd,t->bd", tokens.astype(jnp.float32), w,
+                        precision=_HI)
+    return jnp.mean(pooled, axis=0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("top_k", "use_region", "use_floor"),
+)
+def localize(
+    state: VoxelStoreState,
+    query: jnp.ndarray,                # [D] pooled query feature
+    top_k: int = 100,
+    use_region: bool = False,
+    curr_grid: Optional[jnp.ndarray] = None,    # [3] int32 (r, c, h)
+    region_radius: float = 0.0,
+    use_floor: bool = False,
+    floor_range: Optional[jnp.ndarray] = None,  # [2] int32 (min_h, max_h)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-K most query-similar voxels.
+
+    Returns (positions [top_k, 3] int32, scores [top_k] f32).  Scores of
+    padding entries (fewer occupied voxels than top_k) are -inf.
+    """
+    V1, K, D = state.feats.shape
+
+    qn = query.astype(jnp.float32)
+    qn = qn / jnp.maximum(jnp.linalg.norm(qn), 1e-12)
+
+    # [V1, K] dot products; f32 accumulation on the MXU
+    sims = jnp.einsum(
+        "vkd,d->vk",
+        state.feats,
+        qn.astype(state.feats.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    sims = sims / jnp.maximum(state.feat_norm, 1e-12)
+
+    kmask = jnp.arange(K)[None, :] < state.feat_count[:, None]
+    sims = jnp.where(kmask, sims, -jnp.inf)
+    per_voxel = jnp.max(sims, axis=1)                    # [V1]
+
+    occupied = jnp.arange(V1) < state.num_voxels
+    mask = occupied
+
+    if use_region:
+        d2 = jnp.sum(
+            (state.slot_pos.astype(jnp.float32)
+             - curr_grid.astype(jnp.float32)[None, :]) ** 2,
+            axis=-1,
+        )
+        mask &= d2 <= region_radius * region_radius
+    if use_floor:
+        h = state.slot_pos[:, 2]
+        mask &= (h >= floor_range[0]) & (h <= floor_range[1])
+
+    per_voxel = jnp.where(mask, per_voxel, -jnp.inf)
+    scores, idx = jax.lax.top_k(per_voxel, top_k)
+    positions = state.slot_pos[idx]
+    return positions, scores

@@ -1,0 +1,125 @@
+"""Device-resident voxel token store.
+
+TPU-native re-architecture of the reference's spatial memory state
+(reference memory_2.py:708-722 `_init_cache` + the HDF5 voxel-group store,
+memory_2.py:330-354):
+
+  - The reference keeps TWO sparse structures keyed by voxel: a dense
+    ``occupied_ids`` int32 map -> RGB point ids, and ragged HDF5 groups
+    ``grid_{r}_{c}_{h}`` -> per-voxel token caches.  Both are populated
+    under the same per-point validity guard (memory_2.py:878-899), so the
+    voxel sets are identical.  Here they are unified: one flat
+    ``slot_map`` (linearized voxel id -> slot) indexes a single dense,
+    capacity-bounded slot table carrying RGB fusion state AND the token
+    cache.  Static shapes => one compiled XLA program for ingest/query.
+
+  - Every array carries one extra "garbage" row (index ``capacity``) so
+    masked scatters can redirect invalid points without dynamic shapes.
+
+  - RGB fusion stores exact weighted sums (f32) instead of the reference's
+    per-step uint8-quantized running mean (memory_2.py:896-899); the
+    weighted running mean is associative, so the exported uint8 color is
+    the numerically-cleaner equivalent of the reference's sequential
+    accumulation.
+
+Capacity bounds (``MemoryConfig.voxel_capacity``) replace the reference's
+unbounded HDF5 growth; overflow voxels are counted in ``dropped_voxels``.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from bsc_nav_tpu.config import MemoryConfig
+
+
+@struct.dataclass
+class VoxelStoreState:
+    """All device-side memory state.  Shapes are static given a config.
+
+    V = voxel_capacity, K = cache_size, D = token_dim, G = grid_size,
+    H = num_height_cells.  Arrays sized V+1 / G*G+1 / ... include one
+    trailing garbage row for masked scatters.
+    """
+
+    # --- token cache (reference: HDF5 groups, memory_2.py:330-354) ------
+    feats: jnp.ndarray        # [V+1, K, D] store dtype
+    feat_norm: jnp.ndarray    # [V+1, K] f32   (cached ||token|| for cosine)
+    feat_dist: jnp.ndarray    # [V+1, K] f32   (squared radial distance)
+    feat_count: jnp.ndarray   # [V+1]    int32 (tokens held, <= K)
+
+    # --- per-voxel RGB fusion (reference: grid_rgb/weight, :888-899) ----
+    rgb_sum: jnp.ndarray      # [V+1, 3] f32   (sum of alpha * rgb)
+    weight: jnp.ndarray       # [V+1]    f32   (sum of alpha)
+    slot_pos: jnp.ndarray     # [V+1, 3] int32 (voxel row, col, h-shifted)
+
+    # --- indexing --------------------------------------------------------
+    slot_map: jnp.ndarray     # [G*G*H + 1] int32 (linear voxel id -> slot, -1 empty)
+    num_voxels: jnp.ndarray   # []  int32
+    dropped_voxels: jnp.ndarray  # [] int32 (capacity overflow)
+
+    # --- top-down maps (reference: cv_map/max_height, :98-99, :901-903) -
+    cv_map: jnp.ndarray       # [G*G + 1, 3] uint8
+    max_height: jnp.ndarray   # [G*G + 1] int32 (-1 = unobserved)
+
+    # --- frame chain (reference: inv_init_base_tf, memory_2.py:844-847) -
+    inv_init_base_tf: jnp.ndarray  # [4, 4] f32
+    initialized: jnp.ndarray       # [] bool
+
+
+def linear_voxel_id(rc: jnp.ndarray, grid_size: int, num_h: int) -> jnp.ndarray:
+    """(row, col, h-shifted) -> flat id in [0, G*G*H)."""
+    return (rc[..., 0] * grid_size + rc[..., 1]) * num_h + rc[..., 2]
+
+
+def init_store(cfg: MemoryConfig, store_dtype=jnp.float32) -> VoxelStoreState:
+    V, K, D = cfg.voxel_capacity, cfg.cache_size, cfg.token_dim
+    G, H = cfg.grid_size, cfg.num_height_cells
+    return VoxelStoreState(
+        feats=jnp.zeros((V + 1, K, D), store_dtype),
+        feat_norm=jnp.zeros((V + 1, K), jnp.float32),
+        feat_dist=jnp.zeros((V + 1, K), jnp.float32),
+        feat_count=jnp.zeros((V + 1,), jnp.int32),
+        rgb_sum=jnp.zeros((V + 1, 3), jnp.float32),
+        weight=jnp.zeros((V + 1,), jnp.float32),
+        slot_pos=jnp.zeros((V + 1, 3), jnp.int32),
+        slot_map=jnp.full((G * G * H + 1,), -1, jnp.int32),
+        num_voxels=jnp.zeros((), jnp.int32),
+        dropped_voxels=jnp.zeros((), jnp.int32),
+        cv_map=jnp.zeros((G * G + 1, 3), jnp.uint8),
+        max_height=jnp.full((G * G + 1,), -1, jnp.int32),
+        inv_init_base_tf=jnp.eye(4, dtype=jnp.float32),
+        initialized=jnp.zeros((), jnp.bool_),
+    )
+
+
+def store_nbytes(cfg: MemoryConfig, store_dtype=jnp.float32) -> int:
+    """Approximate device footprint of a store with this config."""
+    V, K, D = cfg.voxel_capacity + 1, cfg.cache_size, cfg.token_dim
+    G, H = cfg.grid_size, cfg.num_height_cells
+    itemsize = jnp.dtype(store_dtype).itemsize
+    return (
+        V * K * D * itemsize        # feats
+        + V * K * 8                 # feat_norm + feat_dist
+        + V * (4 + 12 + 4 + 12)     # count, rgb_sum, weight, slot_pos
+        + (G * G * H + 1) * 4       # slot_map
+        + (G * G + 1) * 7           # cv_map + max_height
+    )
+
+
+def occupied_positions(state: VoxelStoreState) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(positions [V+1,3], valid mask [V+1]) of occupied slots."""
+    V1 = state.slot_pos.shape[0]
+    valid = jnp.arange(V1) < state.num_voxels
+    return state.slot_pos, valid
+
+
+def fused_rgb(state: VoxelStoreState) -> jnp.ndarray:
+    """Weighted-mean color per slot as uint8 (export form of the
+    reference's grid_rgb, memory_2.py:896-899)."""
+    w = jnp.maximum(state.weight, 1e-12)[:, None]
+    return jnp.clip(state.rgb_sum / w, 0, 255).astype(jnp.uint8)
