@@ -1,0 +1,239 @@
+"""CLIP dual towers (image + text) in pure JAX.
+
+Fills the reference's MetaCLIP ViT-H/14 role (reference
+objnav_benchmark.py:309-311 via open_clip): query-time text<->label
+matching for long-term memory retrieval (:539-557) and the 360-degree
+image/text scan in check_around (:703-729).
+
+Architecture follows the open_clip ViT tower layout (pre-LN transformer,
+class embedding, ln_pre/ln_post, linear projection; text tower with
+causal mask and argmax-EOT pooling).  Attention runs through the Pallas
+flash kernel on TPU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bsc_nav_tpu.models.vit import layer_norm, _linear, patchify
+from bsc_nav_tpu.ops.flash_attention import attention
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPConfig:
+    embed_dim: int = 1024
+    # image tower
+    image_size: int = 224
+    patch_size: int = 14
+    vision_width: int = 1280
+    vision_layers: int = 32
+    vision_heads: int = 16
+    # text tower
+    context_length: int = 77
+    vocab_size: int = 49408
+    text_width: int = 1024
+    text_heads: int = 16
+    text_layers: int = 24
+    ln_eps: float = 1e-5
+
+    @property
+    def grid(self) -> int:
+        return self.image_size // self.patch_size
+
+
+METACLIP_VITH14 = CLIPConfig()
+CLIP_VITB32_TEST = CLIPConfig(
+    embed_dim=64, image_size=32, patch_size=8, vision_width=96,
+    vision_layers=2, vision_heads=3, context_length=16, vocab_size=512,
+    text_width=64, text_heads=4, text_layers=2)
+
+CONFIGS = {"metaclip_vith14": METACLIP_VITH14}
+
+
+def init_params(cfg: CLIPConfig, key, dtype=jnp.float32) -> Dict[str, Any]:
+    ks = jax.random.split(key, 10)
+
+    def lin(k, fi, fo):
+        return {"w": jax.random.normal(k, (fi, fo), dtype) / math.sqrt(fi),
+                "b": jnp.zeros((fo,), dtype)}
+
+    def ln(width):
+        return {"scale": jnp.ones((width,), dtype),
+                "bias": jnp.zeros((width,), dtype)}
+
+    def tower(key, width, layers, mlp=4):
+        blocks = []
+        for i in range(layers):
+            bk = jax.random.split(jax.random.fold_in(key, i), 4)
+            blocks.append({
+                "ln1": ln(width),
+                "qkv": lin(bk[0], width, 3 * width),
+                "proj": lin(bk[1], width, width),
+                "ln2": ln(width),
+                "fc1": lin(bk[2], width, mlp * width),
+                "fc2": lin(bk[3], mlp * width, width),
+            })
+        return blocks
+
+    vw, tw, p = cfg.vision_width, cfg.text_width, cfg.patch_size
+    return {
+        "visual": {
+            "patch_embed": {"w": jax.random.normal(
+                ks[0], (p * p * 3, vw), dtype) / math.sqrt(p * p * 3)},
+            "class_embedding": jax.random.normal(ks[1], (vw,), dtype) * 0.02,
+            "pos_embed": jax.random.normal(
+                ks[2], (cfg.grid ** 2 + 1, vw), dtype) * 0.02,
+            "ln_pre": ln(vw),
+            "blocks": tower(ks[3], vw, cfg.vision_layers),
+            "ln_post": ln(vw),
+            "proj": jax.random.normal(
+                ks[4], (vw, cfg.embed_dim), dtype) / math.sqrt(vw),
+        },
+        "text": {
+            "token_embedding": jax.random.normal(
+                ks[5], (cfg.vocab_size, tw), dtype) * 0.02,
+            "pos_embed": jax.random.normal(
+                ks[6], (cfg.context_length, tw), dtype) * 0.01,
+            "blocks": tower(ks[7], tw, cfg.text_layers),
+            "ln_final": ln(tw),
+            "proj": jax.random.normal(
+                ks[8], (tw, cfg.embed_dim), dtype) / math.sqrt(tw),
+        },
+        "logit_scale": jnp.asarray(np.log(1 / 0.07), dtype),
+    }
+
+
+def _tower_forward(x, blocks, heads, eps, causal=False):
+    B, S, D = x.shape
+    hd = D // heads
+    for blk in blocks:
+        y = layer_norm(x, blk["ln1"], eps)
+        qkv = _linear(y, blk["qkv"]).reshape(B, S, 3, heads, hd)
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        att = attention(q, k, v, causal=causal)
+        att = att.transpose(0, 2, 1, 3).reshape(B, S, D)
+        x = x + _linear(att, blk["proj"])
+        y = layer_norm(x, blk["ln2"], eps)
+        x = x + _linear(jax.nn.gelu(_linear(y, blk["fc1"]),
+                                    approximate=False), blk["fc2"])
+    return x
+
+
+def encode_image(params: Dict[str, Any], images: jnp.ndarray,
+                 cfg: CLIPConfig, normalize: bool = True) -> jnp.ndarray:
+    """images: [B, H, W, 3] normalized floats -> [B, embed_dim]."""
+    v = params["visual"]
+    x = _linear(patchify(images, cfg.patch_size), v["patch_embed"])
+    B = x.shape[0]
+    cls = jnp.broadcast_to(
+        v["class_embedding"][None, None, :], (B, 1, cfg.vision_width)
+    ).astype(x.dtype)
+    x = jnp.concatenate([cls, x], axis=1) + v["pos_embed"][None].astype(x.dtype)
+    x = layer_norm(x, v["ln_pre"], cfg.ln_eps)
+    x = _tower_forward(x, v["blocks"], cfg.vision_heads, cfg.ln_eps)
+    x = layer_norm(x[:, 0], v["ln_post"], cfg.ln_eps)
+    feats = jnp.einsum("bd,de->be", x, v["proj"],
+                       preferred_element_type=jnp.float32)
+    if normalize:
+        feats = feats / jnp.maximum(
+            jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
+    return feats
+
+
+def encode_text(params: Dict[str, Any], token_ids: jnp.ndarray,
+                cfg: CLIPConfig, normalize: bool = True) -> jnp.ndarray:
+    """token_ids: [B, context_length] int32 -> [B, embed_dim].
+    Pooled at the argmax token id (EOT has the highest id, open_clip
+    convention)."""
+    t = params["text"]
+    x = t["token_embedding"][token_ids] + t["pos_embed"][None]
+    x = _tower_forward(x, t["blocks"], cfg.text_heads, cfg.ln_eps,
+                       causal=True)
+    x = layer_norm(x, t["ln_final"], cfg.ln_eps)
+    eot = jnp.argmax(token_ids, axis=-1)
+    pooled = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
+    feats = jnp.einsum("bd,de->be", pooled, t["proj"],
+                       preferred_element_type=jnp.float32)
+    if normalize:
+        feats = feats / jnp.maximum(
+            jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
+    return feats
+
+
+# CLIP image preprocessing constants (open_clip defaults)
+CLIP_MEAN = jnp.asarray([0.48145466, 0.4578275, 0.40821073])
+CLIP_STD = jnp.asarray([0.26862954, 0.26130258, 0.27577711])
+
+
+def preprocess(images_uint8: jnp.ndarray, cfg: CLIPConfig) -> jnp.ndarray:
+    x = images_uint8.astype(jnp.float32) / 255.0
+    B = x.shape[0]
+    if x.shape[1:3] != (cfg.image_size, cfg.image_size):
+        x = jax.image.resize(
+            x, (B, cfg.image_size, cfg.image_size, 3), "bilinear")
+    return (x - CLIP_MEAN) / CLIP_STD
+
+
+# --------------------------------------------------------------------------
+# open_clip checkpoint conversion
+# --------------------------------------------------------------------------
+
+def convert_openclip(state_dict: Mapping[str, Any], cfg: CLIPConfig,
+                     dtype=jnp.float32) -> Dict[str, Any]:
+    """open_clip state-dict layout -> clip.py params."""
+
+    def _t(x):
+        return x.detach().cpu().numpy() if hasattr(x, "detach") else np.asarray(x)
+
+    sd = {k: _t(v) for k, v in state_dict.items()}
+
+    def ln(prefix, width):
+        return {"scale": jnp.asarray(sd[prefix + ".weight"], dtype),
+                "bias": jnp.asarray(sd[prefix + ".bias"], dtype)}
+
+    def lin(prefix):
+        return {"w": jnp.asarray(sd[prefix + ".weight"].T, dtype),
+                "b": jnp.asarray(sd[prefix + ".bias"], dtype)}
+
+    def tower(prefix, layers):
+        blocks = []
+        for i in range(layers):
+            p = f"{prefix}.resblocks.{i}"
+            blocks.append({
+                "ln1": ln(f"{p}.ln_1", None),
+                "qkv": {"w": jnp.asarray(sd[f"{p}.attn.in_proj_weight"].T, dtype),
+                        "b": jnp.asarray(sd[f"{p}.attn.in_proj_bias"], dtype)},
+                "proj": lin(f"{p}.attn.out_proj"),
+                "ln2": ln(f"{p}.ln_2", None),
+                "fc1": lin(f"{p}.mlp.c_fc"),
+                "fc2": lin(f"{p}.mlp.c_proj"),
+            })
+        return blocks
+
+    conv = sd["visual.conv1.weight"]  # [W, 3, P, P], no bias
+    w = conv.transpose(2, 3, 1, 0).reshape(-1, cfg.vision_width)
+    return {
+        "visual": {
+            "patch_embed": {"w": jnp.asarray(w, dtype)},
+            "class_embedding": jnp.asarray(sd["visual.class_embedding"], dtype),
+            "pos_embed": jnp.asarray(sd["visual.positional_embedding"], dtype),
+            "ln_pre": ln("visual.ln_pre", None),
+            "blocks": tower("visual.transformer", cfg.vision_layers),
+            "ln_post": ln("visual.ln_post", None),
+            "proj": jnp.asarray(sd["visual.proj"], dtype),
+        },
+        "text": {
+            "token_embedding": jnp.asarray(sd["token_embedding.weight"], dtype),
+            "pos_embed": jnp.asarray(sd["positional_embedding"], dtype),
+            "blocks": tower("transformer", cfg.text_layers),
+            "ln_final": ln("ln_final", None),
+            "proj": jnp.asarray(sd["text_projection"], dtype),
+        },
+        "logit_scale": jnp.asarray(sd["logit_scale"], dtype),
+    }

@@ -1,0 +1,235 @@
+"""Vision Transformer (DINOv2-family) as pure JAX functions.
+
+Serves the reference's frozen patch encoder (reference memory_2.py:43
+loads `dinov2_vitl14_reg` via torch.hub; tokens consumed at
+memory_2.py:732-742 as `x_norm_patchtokens`).  Re-implemented from the
+architecture spec, TPU-first:
+
+  - patch embedding as an unfold+matmul (MXU-friendly, no conv layout
+    shuffles),
+  - attention through the Pallas flash kernel (ops/flash_attention),
+  - bf16-friendly: params can be cast; LayerNorm/softmax accumulate f32.
+
+Params are plain nested dicts (converted from torch checkpoints by
+models/weights.py when available, or randomly initialized).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from bsc_nav_tpu.ops.flash_attention import attention
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    img_size: int = 224
+    patch_size: int = 14
+    dim: int = 1024
+    depth: int = 24
+    heads: int = 16
+    mlp_ratio: float = 4.0
+    num_registers: int = 4
+    layerscale: bool = True
+    qkv_bias: bool = True
+    ffn: str = "mlp"              # "mlp" | "swiglu"
+    ln_eps: float = 1e-6
+
+    @property
+    def num_patches(self) -> int:
+        return (self.img_size // self.patch_size) ** 2
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.heads
+
+
+DINOV2_VITS14_REG = ViTConfig(dim=384, depth=12, heads=6)
+DINOV2_VITB14_REG = ViTConfig(dim=768, depth=12, heads=12)
+DINOV2_VITL14_REG = ViTConfig(dim=1024, depth=24, heads=16)
+DINOV2_VITG14_REG = ViTConfig(dim=1536, depth=40, heads=24, ffn="swiglu")
+
+CONFIGS = {
+    "dinov2_vits14_reg": DINOV2_VITS14_REG,
+    "dinov2_vitb14_reg": DINOV2_VITB14_REG,
+    "dinov2_vitl14_reg": DINOV2_VITL14_REG,
+    "dinov2_vitg14_reg": DINOV2_VITG14_REG,
+}
+
+
+# --------------------------------------------------------------------------
+# init
+# --------------------------------------------------------------------------
+
+def init_params(cfg: ViTConfig, key: jnp.ndarray,
+                dtype=jnp.float32) -> Dict[str, Any]:
+    ks = jax.random.split(key, 8 + cfg.depth)
+    d, p = cfg.dim, cfg.patch_size
+    hidden = int(cfg.dim * cfg.mlp_ratio)
+
+    def lin(k, fan_in, fan_out, bias=True):
+        w = jax.random.normal(k, (fan_in, fan_out), dtype) / math.sqrt(fan_in)
+        out = {"w": w}
+        if bias:
+            out["b"] = jnp.zeros((fan_out,), dtype)
+        return out
+
+    def ln():
+        return {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)}
+
+    blocks = []
+    for i in range(cfg.depth):
+        bk = jax.random.split(ks[8 + i], 4)
+        blk = {
+            "ln1": ln(),
+            "qkv": lin(bk[0], d, 3 * d, bias=cfg.qkv_bias),
+            "proj": lin(bk[1], d, d),
+            "ln2": ln(),
+        }
+        if cfg.ffn == "swiglu":
+            blk["fc1"] = lin(bk[2], d, 2 * hidden)
+            blk["fc2"] = lin(bk[3], hidden, d)
+        else:
+            blk["fc1"] = lin(bk[2], d, hidden)
+            blk["fc2"] = lin(bk[3], hidden, d)
+        if cfg.layerscale:
+            blk["ls1"] = jnp.full((d,), 1e-5, dtype)
+            blk["ls2"] = jnp.full((d,), 1e-5, dtype)
+        blocks.append(blk)
+
+    params = {
+        "patch_embed": lin(ks[0], p * p * 3, d),
+        "cls_token": jax.random.normal(ks[1], (1, 1, d), dtype) * 0.02,
+        "pos_embed": jax.random.normal(
+            ks[2], (1, 1 + cfg.num_patches, d), dtype) * 0.02,
+        "norm": ln(),
+        "blocks": blocks,
+    }
+    if cfg.num_registers:
+        params["reg_token"] = (
+            jax.random.normal(ks[3], (1, cfg.num_registers, d), dtype) * 0.02
+        )
+    return params
+
+
+# --------------------------------------------------------------------------
+# forward
+# --------------------------------------------------------------------------
+
+def layer_norm(x, p, eps):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"].astype(jnp.float32)
+            + p["bias"].astype(jnp.float32)).astype(x.dtype)
+
+
+def _linear(x, p):
+    y = jnp.einsum("...d,df->...f", x, p["w"],
+                   preferred_element_type=jnp.float32)
+    if "b" in p:
+        y = y + p["b"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def patchify(images: jnp.ndarray, patch: int) -> jnp.ndarray:
+    """[B, H, W, 3] -> [B, T, patch*patch*3] with (ph, pw, c) inner order."""
+    B, H, W, C = images.shape
+    gh, gw = H // patch, W // patch
+    x = images.reshape(B, gh, patch, gw, patch, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)                  # [B, gh, gw, p, p, C]
+    return x.reshape(B, gh * gw, patch * patch * C)
+
+
+def interpolate_pos_embed(pos: jnp.ndarray, n_patches: int) -> jnp.ndarray:
+    """Bicubic resize of the patch position grid for non-default image
+    sizes (DINOv2 interpolate_pos_encoding behavior)."""
+    n0 = pos.shape[1] - 1
+    if n0 == n_patches:
+        return pos
+    g0 = int(round(math.sqrt(n0)))
+    g1 = int(round(math.sqrt(n_patches)))
+    cls_pos, patch_pos = pos[:, :1], pos[:, 1:]
+    grid = patch_pos.reshape(1, g0, g0, -1)
+    grid = jax.image.resize(grid, (1, g1, g1, grid.shape[-1]), "bicubic")
+    return jnp.concatenate([cls_pos, grid.reshape(1, g1 * g1, -1)], axis=1)
+
+
+def _block(x, blk, cfg: ViTConfig):
+    B, S, D = x.shape
+    h, hd = cfg.heads, cfg.head_dim
+
+    y = layer_norm(x, blk["ln1"], cfg.ln_eps)
+    qkv = _linear(y, blk["qkv"]).reshape(B, S, 3, h, hd)
+    q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+    att = attention(q, k, v)                            # [B, h, S, hd]
+    att = att.transpose(0, 2, 1, 3).reshape(B, S, D)
+    att = _linear(att, blk["proj"])
+    if "ls1" in blk:
+        att = att * blk["ls1"].astype(att.dtype)
+    x = x + att
+
+    y = layer_norm(x, blk["ln2"], cfg.ln_eps)
+    if cfg.ffn == "swiglu":
+        u = _linear(y, blk["fc1"])
+        a, b = jnp.split(u, 2, axis=-1)
+        y = _linear(jax.nn.silu(a) * b, blk["fc2"])
+    else:
+        y = _linear(jax.nn.gelu(_linear(y, blk["fc1"]), approximate=False),
+                    blk["fc2"])
+    if "ls2" in blk:
+        y = y * blk["ls2"].astype(y.dtype)
+    return x + y
+
+
+def forward_features(params: Dict[str, Any], images: jnp.ndarray,
+                     cfg: ViTConfig) -> Dict[str, jnp.ndarray]:
+    """images: [B, H, W, 3] already normalized float.  Returns the
+    reference's forward_features dict fields (x_norm_patchtokens,
+    x_norm_clstoken, x_norm_regtokens)."""
+    B, H, W, _ = images.shape
+    n_patches = (H // cfg.patch_size) * (W // cfg.patch_size)
+
+    x = _linear(patchify(images, cfg.patch_size), params["patch_embed"])
+    cls = jnp.broadcast_to(params["cls_token"], (B, 1, cfg.dim)).astype(x.dtype)
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + interpolate_pos_embed(params["pos_embed"], n_patches).astype(x.dtype)
+
+    n_reg = cfg.num_registers
+    if n_reg:
+        reg = jnp.broadcast_to(
+            params["reg_token"], (B, n_reg, cfg.dim)).astype(x.dtype)
+        x = jnp.concatenate([x[:, :1], reg, x[:, 1:]], axis=1)
+
+    for blk in params["blocks"]:
+        x = _block(x, blk, cfg)
+
+    x = layer_norm(x, params["norm"], cfg.ln_eps)
+    return {
+        "x_norm_clstoken": x[:, 0],
+        "x_norm_regtokens": x[:, 1:1 + n_reg],
+        "x_norm_patchtokens": x[:, 1 + n_reg:],
+    }
+
+
+IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406])
+IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225])
+
+
+def preprocess(images_uint8: jnp.ndarray, out_hw: Optional[tuple] = None,
+               mean=IMAGENET_MEAN, std=IMAGENET_STD) -> jnp.ndarray:
+    """uint8 [B, H, W, 3] -> normalized float32, optionally resized
+    (reference transform_, memory_2.py:71-74)."""
+    x = images_uint8.astype(jnp.float32) / 255.0
+    if out_hw is not None and out_hw != images_uint8.shape[1:3]:
+        B = x.shape[0]
+        x = jax.image.resize(x, (B, out_hw[0], out_hw[1], 3), "bilinear")
+    return (x - mean) / std

@@ -1,0 +1,143 @@
+"""Pallas TPU flash attention (forward, inference).
+
+Serves every encoder in the framework (DINOv2-style ViT patch encoder,
+CLIP towers, and the SD3.5-class MMDiT joint attention whose sequences
+reach 4k+ tokens -- the reference leans on CUDA flash_attn 2.7.4,
+requirements.txt; here the kernel is a blockwise online-softmax Pallas
+program per SURVEY §2.4).
+
+Layout: q, k, v are [B, H, S, Dh].  The kernel runs on a (B*H, S/bq)
+grid; each program streams K/V in bk-sized blocks from VMEM with an
+online softmax accumulator in f32 scratch.  Supports an optional causal
+mask (CLIP text tower).
+
+Falls back to a pure-jnp implementation off-TPU (CPU tests) and for
+shapes the kernel doesn't support.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def reference_attention(q, k, v, causal: bool = False, scale=None):
+    """Pure-jnp attention oracle, f32 accumulation. [B, H, S, Dh]."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if causal:
+        s_q, s_k = logits.shape[-2:]
+        mask = jnp.tril(jnp.ones((s_q, s_k), bool), k=s_k - s_q)
+        logits = jnp.where(mask, logits, _NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(q.dtype)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+                  *, bk: int, s_k: int, kv_len: int, scale: float,
+                  causal: bool, bq: int):
+    qi = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32) * scale            # [bq, d]
+
+    m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+    l_scr[:] = jnp.zeros_like(l_scr)
+    acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    n_kb = s_k // bk
+
+    def body(kb, _):
+        k_blk = k_ref[0, pl.ds(kb * bk, bk), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(kb * bk, bk), :].astype(jnp.float32)
+        logits = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+
+        k_pos = kb * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        logits = jnp.where(k_pos < kv_len, logits, _NEG_INF)
+        if causal:
+            q_pos = qi * bq + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, bk), 0)
+            logits = jnp.where(q_pos >= k_pos, logits, _NEG_INF)
+
+        m_prev = m_scr[:, 0]
+        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=1))
+        p = jnp.exp(logits - m_new[:, None])
+        alpha = jnp.exp(m_prev - m_new)
+        l_scr[:, 0] = l_scr[:, 0] * alpha + jnp.sum(p, axis=1)
+        acc_scr[:] = acc_scr[:] * alpha[:, None] + jnp.dot(
+            p, v_blk, preferred_element_type=jnp.float32)
+        m_scr[:, 0] = m_new
+        return 0
+
+    jax.lax.fori_loop(0, n_kb, body, 0)
+    o_ref[0] = (acc_scr[:] / l_scr[:, 0][:, None]).astype(o_ref.dtype)
+
+
+def _pad_to(x, mult, axis, value=0.0):
+    size = x.shape[axis]
+    pad = (-size) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "interpret"))
+def flash_attention(q, k, v, causal: bool = False, interpret: bool = False):
+    """Blockwise attention.  q, k, v: [B, H, S, Dh] (S_q may differ from
+    S_k only when not causal)."""
+    B, H, Sq, Dh = q.shape
+    Sk = k.shape[2]
+    scale = 1.0 / math.sqrt(Dh)
+
+    bq = min(128, max(8, 1 << (Sq - 1).bit_length()))
+    bk = min(128, max(8, 1 << (Sk - 1).bit_length()))
+
+    # zero-pad Q/K/V to block multiples; padded KEY positions are masked
+    # to -inf inside the kernel via kv_len, padded QUERY rows are sliced
+    # off after the call.
+    qp = _pad_to(q.reshape(B * H, Sq, Dh), bq, axis=1)
+    kp = _pad_to(k.reshape(B * H, Sk, Dh), bk, axis=1)
+    vp = _pad_to(v.reshape(B * H, Sk, Dh), bk, axis=1)
+    Sq_p, Sk_p = qp.shape[1], kp.shape[1]
+
+    grid = (B * H, Sq_p // bq)
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, bk=bk, s_k=Sk_p, kv_len=Sk, scale=scale,
+            causal=causal, bq=bq),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, Dh), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, Sk_p, Dh), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, Sk_p, Dh), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, Dh), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * H, Sq_p, Dh), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, Dh), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :Sq].reshape(B, H, Sq, Dh)
+
+
+def attention(q, k, v, causal: bool = False):
+    """Dispatch: Pallas kernel on TPU, jnp reference elsewhere."""
+    if jax.default_backend() == "tpu":
+        return flash_attention(q, k, v, causal=causal)
+    return reference_attention(q, k, v, causal=causal)

@@ -1,0 +1,56 @@
+"""Flash attention kernel vs the jnp oracle (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bsc_nav_tpu.ops.flash_attention import (
+    flash_attention, reference_attention)
+
+
+def mk(shape, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.normal(size=shape).astype(np.float32))
+
+
+@pytest.mark.parametrize("B,H,S,D", [(1, 2, 128, 64), (2, 2, 256, 64)])
+def test_flash_matches_reference(B, H, S, D):
+    q, k, v = mk((B, H, S, D), 0), mk((B, H, S, D), 1), mk((B, H, S, D), 2)
+    out = flash_attention(q, k, v, interpret=True)
+    exp = reference_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(exp),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_flash_unaligned_seqlen():
+    """261 tokens = DINOv2 ViT-L/14-reg @224 (256 patches + cls + 4 reg):
+    key padding must be masked, not averaged in."""
+    B, H, S, D = 1, 2, 261, 64
+    q, k, v = mk((B, H, S, D), 3), mk((B, H, S, D), 4), mk((B, H, S, D), 5)
+    out = flash_attention(q, k, v, interpret=True)
+    exp = reference_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(exp),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_flash_causal():
+    B, H, S, D = 1, 2, 77, 64   # CLIP text shape
+    q, k, v = mk((B, H, S, D), 6), mk((B, H, S, D), 7), mk((B, H, S, D), 8)
+    out = flash_attention(q, k, v, causal=True, interpret=True)
+    exp = reference_attention(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(exp),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_flash_bf16():
+    B, H, S, D = 1, 2, 128, 64
+    q = mk((B, H, S, D), 9).astype(jnp.bfloat16)
+    k = mk((B, H, S, D), 10).astype(jnp.bfloat16)
+    v = mk((B, H, S, D), 11).astype(jnp.bfloat16)
+    out = flash_attention(q, k, v, interpret=True)
+    exp = reference_attention(q, k, v)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(exp, np.float32),
+        rtol=3e-2, atol=3e-2)
