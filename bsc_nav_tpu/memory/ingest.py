@@ -52,9 +52,12 @@ def points_per_frame(cfg: Config) -> int:
 
 def _select_pixels(key: jnp.ndarray, h: int, w: int, n: int) -> jnp.ndarray:
     """Random pixel subset of size n (flat indices).  The reference
-    shuffles all H*W indices and strides (memory_2.py:747-749); an
-    n-element slice of a permutation is the same distribution."""
-    return jax.random.permutation(key, h * w)[:n]
+    shuffles all H*W indices and strides (memory_2.py:747-749, i.e.
+    uniform WITHOUT replacement); we sample WITH replacement -- O(n)
+    instead of O(HW log HW) on device, and for n ~ HW/1000 a duplicate
+    occurs once every few frames with no semantic effect (duplicates are
+    processed like any two points hitting the same voxel)."""
+    return jax.random.randint(key, (n,), 0, h * w, dtype=jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -73,6 +76,7 @@ def ingest_frames(
     mem = cfg.memory
     Gs, Hc = mem.grid_size, mem.num_height_cells
     V, K, D = mem.voxel_capacity, mem.cache_size, mem.token_dim
+    V1 = state.feats.shape[0]            # padded rows; garbage slot = V
     nh, nw = patch_tokens.shape[1], patch_tokens.shape[2]
     P = points_per_frame(cfg)
     N = B * P
@@ -246,30 +250,30 @@ def ingest_frames(
     rand_idx = jax.random.randint(repl_key, (N,), 0, K, dtype=jnp.int32)
     write_k = jnp.where(pos_k < K, pos_k, rand_idx)
 
-    target = jnp.where(valid, slot_g * K + write_k, (V + 1) * K)
+    target = jnp.where(valid, slot_g * K + write_k, V1 * K)
     cache_best = (
-        jnp.full(((V + 1) * K + 1,), -1, jnp.int32).at[target].max(order)
+        jnp.full((V1 * K + 1,), -1, jnp.int32).at[target].max(order)
     )
     cache_won = valid & (cache_best[target] == order)
-    wtarget = jnp.where(cache_won, target, (V + 1) * K)
+    wtarget = jnp.where(cache_won, target, V1 * K)
 
-    feats_flat = state.feats.reshape((V + 1) * K, D)
+    feats_flat = state.feats.reshape(V1 * K, D)
     feats_flat = feats_flat.at[wtarget].set(
         token.astype(state.feats.dtype), mode="drop"
     )
-    feats = feats_flat.reshape(V + 1, K, D)
+    feats = feats_flat.reshape(V1, K, D)
 
     tok_norm = jnp.sqrt(
         jnp.sum(token.astype(jnp.float32) ** 2, axis=-1)
     )
     feat_norm = state.feat_norm.reshape(-1).at[wtarget].set(
         tok_norm, mode="drop"
-    ).reshape(V + 1, K)
+    ).reshape(V1, K)
     feat_dist = state.feat_dist.reshape(-1).at[wtarget].set(
         radial_sq, mode="drop"
-    ).reshape(V + 1, K)
+    ).reshape(V1, K)
 
-    inserted = jnp.zeros((V + 1,), jnp.int32).at[slot_g].add(
+    inserted = jnp.zeros((V1,), jnp.int32).at[slot_g].add(
         valid.astype(jnp.int32)
     )
     feat_count = jnp.minimum(state.feat_count + inserted, K)

@@ -1,0 +1,92 @@
+"""Fused device pipelines: encoder + voxel ingest, encoder + query.
+
+These are the two "one XLA program" paths the framework is built around
+(SURVEY §7 steps 2-4):
+
+  build_step: RGB-D frames + poses  ->  updated voxel store
+      (reference path: memory_2.py:842-903 frame loop + DINOv2 forward)
+  query_step: query images          ->  top-K goal voxels
+      (reference path: memory_2.py:563-671 voxel_localized)
+
+Batching frames decouples simulator stepping from ingestion (the
+reference is frame-at-a-time because its Python loop forces it; mapping
+is pose-conditioned and replayable, so frames queue up on host and hit
+the TPU in batches).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from bsc_nav_tpu.config import Config
+from bsc_nav_tpu.memory.ingest import ingest_frames
+from bsc_nav_tpu.memory.query import gaussian_center_pool, localize
+from bsc_nav_tpu.memory.store import VoxelStoreState
+from bsc_nav_tpu.models import vit
+
+
+def encode_patch_grid(params, images_uint8: jnp.ndarray, vit_cfg: vit.ViTConfig,
+                      cfg: Config, compute_dtype=jnp.float32) -> jnp.ndarray:
+    """uint8 frames [B, H, W, 3] -> patch-token grid [B, nh, nw, D]
+    (reference _get_patch_token, memory_2.py:732-742: resize to the query
+    resolution, ImageNet-normalize, DINOv2 forward, reshape)."""
+    q = (cfg.query.query_height, cfg.query.query_width)
+    x = vit.preprocess(images_uint8, out_hw=q).astype(compute_dtype)
+    feats = vit.forward_features(params, x, vit_cfg)["x_norm_patchtokens"]
+    B = images_uint8.shape[0]
+    nh = q[0] // vit_cfg.patch_size
+    nw = q[1] // vit_cfg.patch_size
+    return feats.reshape(B, nh, nw, -1)
+
+
+def make_build_step(cfg: Config, vit_cfg: vit.ViTConfig,
+                    compute_dtype=jnp.float32):
+    """Returns jitted (carry, params, rgb, depth, poses) -> (carry, stats)
+    with carry = (state, prng_key).
+
+    The PRNG key is threaded INSIDE the jitted step: any eager op between
+    steps (even a key split) costs a full host<->device round trip, which
+    dominates wall clock on tunneled/remote TPU deployments.
+    """
+
+    @functools.partial(jax.jit, donate_argnames=("carry",))
+    def build_step(carry, params, rgb, depth, poses):
+        state, key = carry
+        key, sub = jax.random.split(key)
+        patch = encode_patch_grid(params, rgb, vit_cfg, cfg, compute_dtype)
+        state, stats = ingest_frames(
+            state, rgb, depth, poses, patch.astype(jnp.float32), sub, cfg)
+        return (state, key), stats
+
+    return build_step
+
+
+def make_query_step(cfg: Config, vit_cfg: vit.ViTConfig,
+                    compute_dtype=jnp.float32):
+    """Returns jitted (state, params, query_images_uint8, top_k, masks...)
+    -> (positions, scores).  query images are e.g. diffusion samples for a
+    text prompt (memory_2.py:570) or the goal image (imagenav)."""
+
+    @functools.partial(jax.jit, static_argnames=("top_k", "use_region",
+                                                 "use_floor"))
+    def query_step(state: VoxelStoreState, params, images_uint8,
+                   top_k: int = 100,
+                   use_region: bool = False,
+                   curr_grid: Optional[jnp.ndarray] = None,
+                   region_radius: float = 0.0,
+                   use_floor: bool = False,
+                   floor_range: Optional[jnp.ndarray] = None):
+        q = (cfg.query.query_height, cfg.query.query_width)
+        x = vit.preprocess(images_uint8, out_hw=q).astype(compute_dtype)
+        tokens = vit.forward_features(params, x, vit_cfg)["x_norm_patchtokens"]
+        pooled = gaussian_center_pool(tokens)
+        return localize(
+            state, pooled, top_k=top_k, use_region=use_region,
+            curr_grid=curr_grid, region_radius=region_radius,
+            use_floor=use_floor, floor_range=floor_range)
+
+    return query_step

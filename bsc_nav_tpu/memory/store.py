@@ -76,17 +76,26 @@ def linear_voxel_id(rc: jnp.ndarray, grid_size: int, num_h: int) -> jnp.ndarray:
     return (rc[..., 0] * grid_size + rc[..., 1]) * num_h + rc[..., 2]
 
 
+def padded_rows(cfg: MemoryConfig) -> int:
+    """Slot-table row count: capacity + garbage row, padded to a multiple
+    of 8 so the capacity axis divides evenly across a model-parallel mesh
+    axis (parallel/mesh.py).  Rows in [capacity, padded) are never
+    assigned; row ``capacity`` is the masked-scatter garbage target."""
+    return ((cfg.voxel_capacity + 1 + 7) // 8) * 8
+
+
 def init_store(cfg: MemoryConfig, store_dtype=jnp.float32) -> VoxelStoreState:
-    V, K, D = cfg.voxel_capacity, cfg.cache_size, cfg.token_dim
+    K, D = cfg.cache_size, cfg.token_dim
     G, H = cfg.grid_size, cfg.num_height_cells
+    V1 = padded_rows(cfg)
     return VoxelStoreState(
-        feats=jnp.zeros((V + 1, K, D), store_dtype),
-        feat_norm=jnp.zeros((V + 1, K), jnp.float32),
-        feat_dist=jnp.zeros((V + 1, K), jnp.float32),
-        feat_count=jnp.zeros((V + 1,), jnp.int32),
-        rgb_sum=jnp.zeros((V + 1, 3), jnp.float32),
-        weight=jnp.zeros((V + 1,), jnp.float32),
-        slot_pos=jnp.zeros((V + 1, 3), jnp.int32),
+        feats=jnp.zeros((V1, K, D), store_dtype),
+        feat_norm=jnp.zeros((V1, K), jnp.float32),
+        feat_dist=jnp.zeros((V1, K), jnp.float32),
+        feat_count=jnp.zeros((V1,), jnp.int32),
+        rgb_sum=jnp.zeros((V1, 3), jnp.float32),
+        weight=jnp.zeros((V1,), jnp.float32),
+        slot_pos=jnp.zeros((V1, 3), jnp.int32),
         slot_map=jnp.full((G * G * H + 1,), -1, jnp.int32),
         num_voxels=jnp.zeros((), jnp.int32),
         dropped_voxels=jnp.zeros((), jnp.int32),
@@ -99,7 +108,7 @@ def init_store(cfg: MemoryConfig, store_dtype=jnp.float32) -> VoxelStoreState:
 
 def store_nbytes(cfg: MemoryConfig, store_dtype=jnp.float32) -> int:
     """Approximate device footprint of a store with this config."""
-    V, K, D = cfg.voxel_capacity + 1, cfg.cache_size, cfg.token_dim
+    V, K, D = padded_rows(cfg), cfg.cache_size, cfg.token_dim
     G, H = cfg.grid_size, cfg.num_height_cells
     itemsize = jnp.dtype(store_dtype).itemsize
     return (

@@ -1,0 +1,119 @@
+"""Multi-chip dry run: the full framework step jitted over a device mesh.
+
+This is the sharded analog of the full pipeline step -- there is no
+gradient training anywhere in this framework (the reference is
+training-free, SURVEY.md intro); the "training step" equivalent is the
+memory-BUILD step (batched encode + voxel ingest) chained with the
+query step, which together exercise every collective pattern the
+framework uses at scale:
+
+  dp  : frame batch data-parallelism (encoder runs per-shard; ingest
+        scatters merge across dp via XLA-inserted collectives)
+  mp  : Megatron-style tensor parallelism inside the ViT (column/row
+        split matmuls) and capacity-axis sharding of the token store
+        for query similarity + distributed top-k.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from bsc_nav_tpu.config import Config, MemoryConfig, QueryConfig, SensorConfig
+from bsc_nav_tpu.memory.ingest import ingest_frames
+from bsc_nav_tpu.memory.pipeline import encode_patch_grid
+from bsc_nav_tpu.memory.query import gaussian_center_pool, localize
+from bsc_nav_tpu.memory.store import init_store
+from bsc_nav_tpu.models import vit
+from bsc_nav_tpu.parallel import mesh as M
+
+
+def dryrun_config() -> Config:
+    """Tiny but structurally real: full dp/mp shardable shapes."""
+    return Config(
+        sensor=SensorConfig(width=56, height=56),
+        memory=MemoryConfig(
+            grid_size=64,
+            floor_height=-3.2,
+            map_height=3.2,
+            token_dim=64,
+            cache_size=4,
+            voxel_capacity=1015,   # padded_rows -> 1016 = 8 * 127
+            depth_sample_rate=8,
+        ),
+        query=QueryConfig(top_k=16, query_width=28, query_height=28),
+    )
+
+
+def dryrun_multichip(n_devices: int, devices=None) -> None:
+    """Create an n-device mesh, jit the FULL pipeline step over it with
+    real dp/mp shardings, and run one step on tiny shapes.  Raises on
+    any sharding/compile/execution failure."""
+    devices = devices if devices is not None else jax.devices()[:n_devices]
+    assert len(devices) >= n_devices, (
+        f"need {n_devices} devices, have {len(devices)}")
+    # widest 2D factorization: dp x mp
+    mp = 1
+    for cand in range(int(n_devices ** 0.5), 0, -1):
+        if n_devices % cand == 0:
+            mp = cand
+            break
+    dp = n_devices // mp
+    mesh = M.make_mesh(dp=dp, mp=mp, devices=devices)
+
+    cfg = dryrun_config()
+    vit_cfg = vit.ViTConfig(
+        img_size=28, patch_size=14, dim=cfg.memory.token_dim, depth=2,
+        heads=2, num_registers=4, mlp_ratio=4.0)
+
+    params = vit.init_params(vit_cfg, jax.random.PRNGKey(0))
+    params = M.shard_vit_params(params, mesh)
+
+    state = init_store(cfg.memory)
+    state = M.shard_store(state, mesh)
+
+    B = 2 * dp
+    rng = np.random.default_rng(0)
+    H, W = cfg.sensor.height, cfg.sensor.width
+    rgb = jnp.asarray(
+        rng.integers(0, 255, size=(B, H, W, 3), dtype=np.uint8))
+    depth = jnp.asarray(rng.uniform(0.3, 3.0, size=(B, H, W)), jnp.float32)
+    poses = np.zeros((B, 7), np.float32)
+    poses[:, 6] = 1.0
+    poses[:, :3] = rng.uniform(-0.5, 0.5, size=(B, 3))
+    poses = jnp.asarray(poses)
+
+    fsh = M.frames_sharding(mesh)
+    rgb = jax.device_put(rgb, fsh)
+    depth = jax.device_put(depth, fsh)
+    poses = jax.device_put(poses, fsh)
+
+    @jax.jit
+    def full_step(state, params, rgb, depth, poses, key, qimg):
+        patch = encode_patch_grid(params, rgb, vit_cfg, cfg)
+        state, stats = ingest_frames(
+            state, rgb, depth, poses, patch, key, cfg)
+        # query against the just-built store (sharded similarity + top-k)
+        tokens = vit.forward_features(
+            params, vit.preprocess(qimg, out_hw=(28, 28)), vit_cfg
+        )["x_norm_patchtokens"]
+        pooled = gaussian_center_pool(tokens)
+        positions, scores = localize(state, pooled, top_k=8)
+        return state, stats, positions, scores
+
+    qimg = jnp.asarray(
+        rng.integers(0, 255, size=(3, H, W, 3), dtype=np.uint8))
+
+    with mesh:
+        state, stats, positions, scores = full_step(
+            state, params, rgb, depth, poses, jax.random.PRNGKey(1), qimg)
+
+    # force execution + sanity
+    n = int(stats["num_voxels"])
+    assert n > 0, "dry run ingested no voxels"
+    s = np.asarray(scores)
+    assert np.isfinite(s[s > -np.inf]).all()
+    print(f"dryrun_multichip OK: mesh dp={dp} mp={mp}, "
+          f"{n} voxels, top score {float(s[0]):.4f}")
