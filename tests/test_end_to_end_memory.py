@@ -1,0 +1,152 @@
+"""Full-system test: fake env frames -> encode+ingest pipeline -> store
+whose voxels geometrically match the scene; query localization finds a
+visually distinctive object.
+
+This exercises the exact chain the navigation agents rely on:
+renderer conventions -> pose math -> voxelization -> grid<->world
+mapping (reference objnav_benchmark.py:452-475) -> query top-K.
+"""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bsc_nav_tpu.config import small_test_config
+from bsc_nav_tpu.env.fake import BoxScene, FakeNavEnv
+from bsc_nav_tpu.env.pathfinding import AgentState, Quat
+from bsc_nav_tpu.memory.pipeline import make_build_step, make_query_step
+from bsc_nav_tpu.memory.store import init_store
+from bsc_nav_tpu.models import vit
+from bsc_nav_tpu import geometry as G
+
+
+@pytest.fixture(scope="module")
+def built():
+    cfg = small_test_config()
+    # denser sampling + a 4x4 patch grid for meaningful query locality
+    cfg = cfg.replace(
+        memory=cfg.memory.__class__(
+            grid_size=96, floor_height=-3.2, map_height=3.2, token_dim=32,
+            cache_size=4, voxel_capacity=(1 << 13) - 8, depth_sample_rate=4),
+        query=cfg.query.__class__(top_k=16, query_width=56, query_height=56))
+    scene = BoxScene.default()
+    env = FakeNavEnv(cfg, scene=scene, seed=3)
+    env.agent.set_state(AgentState(np.array([0.0, 0.0, 0.0]),
+                                   Quat.from_yaw(0.0)))
+    env.reset(init_state=env.agent.get_state(), build_map=True)
+
+    vit_cfg = vit.ViTConfig(img_size=56, patch_size=14, dim=32, depth=2,
+                            heads=2, num_registers=1)
+    params = vit.init_params(vit_cfg, jax.random.PRNGKey(0))
+
+    # spin 360 and collect frames (reference builds by turning in place,
+    # memory_2.py:1124-1125)
+    frames = []
+    obs = env.sims.get_sensor_observations(0)
+    for _ in range(12):
+        pose = env.agent_pose_vec()
+        frames.append((obs["rgb"][:, :, :3].copy(), obs["depth"].copy(),
+                       pose))
+        obs = env.step("turn_left")
+
+    rgb = jnp.asarray(np.stack([f[0] for f in frames]))
+    depth = jnp.asarray(np.stack([f[1] for f in frames]))
+    poses = jnp.asarray(np.stack([f[2] for f in frames]))
+
+    state = init_store(cfg.memory)
+    build = make_build_step(cfg, vit_cfg)
+    carry = (state, jax.random.PRNGKey(7))
+    carry, stats = build(carry, params, rgb, depth, poses)
+    state = carry[0]
+    return cfg, scene, env, state, params, vit_cfg
+
+
+def grid_to_world(cfg, origin, rc):
+    """reference objnav_benchmark.py:452-465 mapping (identity init rot)."""
+    row, col, h = rc
+    x = origin[0] + (col - cfg.memory.grid_size // 2) * cfg.memory.cell_size
+    z = origin[2] + (row - cfg.memory.grid_size // 2) * cfg.memory.cell_size
+    y = (h + cfg.memory.zmin) * cfg.memory.cell_size
+    return np.array([x, y, z])   # habitat (x, height, z)... y=height
+
+
+def test_voxels_inside_room(built):
+    cfg, scene, env, state, params, vit_cfg = built
+    n = int(state.num_voxels)
+    assert n > 200
+    pos = np.asarray(state.slot_pos)[:n]
+    origin = np.asarray(env.original_state.position)
+    world = np.stack([grid_to_world(cfg, origin, p) for p in pos])
+    bmin = np.asarray(scene.bounds_min)
+    bmax = np.asarray(scene.bounds_max)
+    ok_x = (world[:, 0] >= bmin[0] - 0.2) & (world[:, 0] <= bmax[0] + 0.2)
+    ok_z = (world[:, 2] >= bmin[2] - 0.2) & (world[:, 2] <= bmax[2] + 0.2)
+    ok_y = (world[:, 1] >= -0.2) & (world[:, 1] <= bmax[1] + 0.2)
+    assert (ok_x & ok_z & ok_y).mean() > 0.99
+
+
+def test_box_region_is_mapped(built):
+    """Voxels must exist near each visible box (they're within grid range
+    and in view during the 360 spin)."""
+    cfg, scene, env, state, params, vit_cfg = built
+    n = int(state.num_voxels)
+    pos = np.asarray(state.slot_pos)[:n]
+    origin = np.asarray(env.original_state.position)
+    world = np.stack([grid_to_world(cfg, origin, p) for p in pos])
+    for box in scene.boxes:
+        c = np.asarray(box.center)
+        d = np.linalg.norm(world[:, [0, 2]] - c[None, [0, 2]], axis=1)
+        assert (d < 1.0).sum() > 3, f"no voxels near {box.label}"
+
+
+def test_rgb_color_recovered(built):
+    """Fused voxel colors near a box center match the box color."""
+    from bsc_nav_tpu.memory.store import fused_rgb
+    cfg, scene, env, state, params, vit_cfg = built
+    n = int(state.num_voxels)
+    pos = np.asarray(state.slot_pos)[:n]
+    rgbs = np.asarray(fused_rgb(state))[:n]
+    origin = np.asarray(env.original_state.position)
+    world = np.stack([grid_to_world(cfg, origin, p) for p in pos])
+
+    box = scene.boxes[0]   # red bed at (2.5, 2.5)
+    c, s = np.asarray(box.center), np.asarray(box.size) / 2
+    on = ((np.abs(world[:, 0] - c[0]) < s[0] + 0.12)
+          & (np.abs(world[:, 2] - c[2]) < s[2] + 0.12)
+          & (world[:, 1] < c[1] + s[1] + 0.12))
+    assert on.sum() > 0
+    mean_color = rgbs[on].mean(axis=0)
+    assert mean_color[0] > 120            # strongly red
+    assert mean_color[1] < 90 and mean_color[2] < 90
+
+
+def test_query_localizes_distinct_object(built):
+    """A close-up view of the red box as image query: top-K voxels should
+    concentrate near the box (random-weight features are still
+    appearance-discriminative)."""
+    cfg, scene, env, state, params, vit_cfg = built
+    box = scene.boxes[0]
+    # stand near the box, look down so it fills the view center (the
+    # sensor sits at 1.5 m; the box top is at 0.8 m)
+    c = np.asarray(box.center)
+    look_from = c + np.array([-0.8, -c[1], -0.8])
+    yaw = math.atan2(-(c[0] - look_from[0]), -(c[2] - look_from[2]))
+    env.agent.set_state(AgentState(look_from, Quat.from_yaw(yaw)))
+    env.step("look_down")
+    env.step("look_down")
+    env.step("look_down")
+    obs = env.sims.get_sensor_observations(0)
+    qimg = jnp.asarray(obs["rgb"][None, :, :, :3])
+
+    query = make_query_step(cfg, vit_cfg)
+    positions, scores = query(state, params, qimg, top_k=16)
+    live = np.asarray(scores) > -np.inf
+    pos = np.asarray(positions)[live]
+    origin = np.asarray(env.original_state.position)
+    world = np.stack([grid_to_world(cfg, origin, p) for p in pos])
+    d = np.linalg.norm(world[:, [0, 2]] - c[None, [0, 2]], axis=1)
+    # majority of the top-k within 2m of the queried object
+    assert (d < 2.0).mean() >= 0.5, f"top-k distances: {d}"
