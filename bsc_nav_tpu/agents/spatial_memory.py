@@ -1,0 +1,385 @@
+"""Host-side spatial memory agent: the framework's `VoxelTokenMemory`.
+
+Mirrors the reference class of the same name (reference memory_2.py:38)
+with a TPU-first split: the env stepping, detector bookkeeping, floor
+logic and persistence live here on host; everything between "RGB-D frame
++ pose in" and "top-K voxels out" runs as the jitted pipelines in
+memory/pipeline.py.  Frames are queued and ingested in fixed-size
+batches (static shapes; short batches are padded with zero-depth frames
+whose points are all masked invalid).
+
+Public surface (reference memory_2.py):
+  excute, obs2voxeltoken, long_memory, long_memory_integration,
+  long_memory_filter, voxel_localized, imaginary, load_memory,
+  create_memory, exploring_create_memory, explore_entire_space.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from bsc_nav_tpu import geometry as G
+from bsc_nav_tpu.config import Config
+from bsc_nav_tpu.memory import floors as F
+from bsc_nav_tpu.memory import frontier as FR
+from bsc_nav_tpu.memory import longterm as LT
+from bsc_nav_tpu.memory import persistence as P
+from bsc_nav_tpu.memory.pipeline import make_build_step, make_query_step
+from bsc_nav_tpu.memory.store import init_store
+from bsc_nav_tpu.models import vit
+
+
+@dataclasses.dataclass
+class Perception:
+    """Bundle of compiled perception programs shared across scenes
+    (the reference preloads DINOv2/YOLO once and passes them in,
+    create_memory_for_dataset.py:58-60)."""
+
+    vit_params: dict
+    vit_cfg: vit.ViTConfig
+    build_step: Callable
+    query_step: Callable
+    batch_size: int = 8
+
+    @staticmethod
+    def create(cfg: Config, vit_cfg: Optional[vit.ViTConfig] = None,
+               vit_params: Optional[dict] = None, batch_size: int = 8,
+               compute_dtype=jnp.float32, seed: int = 0) -> "Perception":
+        vit_cfg = vit_cfg or vit.CONFIGS[cfg.models.encoder]
+        if vit_params is None:
+            weights = (os.path.join(cfg.models.weights_dir,
+                                    cfg.models.encoder + ".npz")
+                       if cfg.models.weights_dir else None)
+            if weights and os.path.exists(weights):
+                from bsc_nav_tpu.models.weights import load_dinov2_npz
+                vit_params = load_dinov2_npz(weights, vit_cfg)
+            else:
+                vit_params = vit.init_params(
+                    vit_cfg, jax.random.PRNGKey(seed))
+        return Perception(
+            vit_params=vit_params,
+            vit_cfg=vit_cfg,
+            build_step=make_build_step(cfg, vit_cfg, compute_dtype),
+            query_step=make_query_step(cfg, vit_cfg, compute_dtype),
+            batch_size=batch_size,
+        )
+
+
+def state_to_pose_vec(agent_state) -> np.ndarray:
+    """habitat AgentState -> (px,py,pz,qx,qy,qz,qw)."""
+    p, r = agent_state.position, agent_state.rotation
+    return np.array([p[0], p[1], p[2], r.x, r.y, r.z, r.w], np.float32)
+
+
+class VoxelTokenMemory:
+    def __init__(self, cfg: Config, env, perception: Perception,
+                 detector=None, imagination=None,
+                 memory_path: Optional[str] = None):
+        self.cfg = cfg
+        self.Env = env
+        self.perception = perception
+        self.detector = detector
+        self.imagination = imagination
+        self.memory_save_path = memory_path or os.path.join(
+            cfg.memory_path, cfg.sim.scene_name)
+
+        self.state = init_store(cfg.memory)
+        self._key = jax.random.PRNGKey(cfg.seed)
+        self._queue: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        self._inv_init_host: Optional[np.ndarray] = None
+        self._base_tf = G.base_axes_transform()
+        self._base2cam = G.base_to_cam_transform(cfg.sensor.sensor_height)
+
+        self.long_memory_dict: List[dict] = []
+        self.base_height: List[float] = []
+        self.step_count = 0
+
+        self.load_single_floor = cfg.agent.load_single_floor
+        self.floor_min_height: Optional[int] = None
+        self.floor_max_height: Optional[int] = None
+
+        # convenience aliases used by the robots (reference naming)
+        self.gs = cfg.memory.grid_size
+        self.cs = cfg.memory.cell_size
+        self.minh = cfg.memory.zmin
+        self.maxh = cfg.memory.zmax
+
+    # ------------------------------------------------------------------
+    # frame ingestion
+    # ------------------------------------------------------------------
+    def _host_cam_to_world(self, pose: np.ndarray) -> np.ndarray:
+        hab = np.asarray(G.pose_vec_to_tf(jnp.asarray(pose, jnp.float32)))
+        base_pose = self._base_tf @ hab @ np.linalg.inv(self._base_tf)
+        if self._inv_init_host is None:
+            init = self._base_tf @ hab @ np.linalg.inv(self._base_tf)
+            self._inv_init_host = np.linalg.inv(init)
+        tf = self._inv_init_host @ base_pose
+        return tf @ self._base_tf @ self._base2cam
+
+    def push_frame(self, obs, pose: np.ndarray) -> None:
+        rgb = np.asarray(obs["rgb"])[:, :, :3]
+        depth = np.asarray(obs["depth"], np.float32)
+        cam_tf = self._host_cam_to_world(pose)
+        self._queue.append((rgb, depth, pose.astype(np.float32)))
+        if self.detector is not None:
+            dets = self.detector.detect(rgb)
+            if dets:
+                self.long_memory_dict.extend(
+                    LT.instances_from_detections(
+                        dets, depth, cam_tf, self.cfg))
+                self.long_memory_integration()
+        if len(self._queue) >= self.perception.batch_size:
+            self.flush()
+
+    def flush(self) -> None:
+        """Ingest all queued frames (padding the batch with zero-depth
+        frames, whose points all fail the min-depth gate)."""
+        if not self._queue:
+            return
+        B = self.perception.batch_size
+        H, W = self.cfg.sensor.height, self.cfg.sensor.width
+        while self._queue:
+            chunk = self._queue[:B]
+            self._queue = self._queue[B:]
+            n = len(chunk)
+            rgb = np.zeros((B, H, W, 3), np.uint8)
+            depth = np.zeros((B, H, W), np.float32)
+            poses = np.tile(chunk[0][2], (B, 1))
+            for i, (r, d, p) in enumerate(chunk):
+                rgb[i], depth[i], poses[i] = r, d, p
+            carry = (self.state, self._key)
+            carry, stats = self.perception.build_step(
+                carry, self.perception.vit_params,
+                jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(poses))
+            self.state, self._key = carry
+
+    # reference single-frame API (memory_2.py:842)
+    def obs2voxeltoken(self, obs, pose: np.ndarray) -> None:
+        self.push_frame(obs, np.asarray(pose, np.float32))
+
+    def long_memory(self, obs) -> None:
+        """Standalone detector pass (memory_2.py:905); push_frame already
+        runs detection when a detector is configured."""
+        if self.detector is None:
+            return
+        state = self.Env.agent.get_state()
+        pose = state_to_pose_vec(state)
+        rgb = np.asarray(obs["rgb"])[:, :, :3]
+        depth = np.asarray(obs["depth"], np.float32)
+        dets = self.detector.detect(rgb)
+        if dets:
+            cam_tf = self._host_cam_to_world(pose)
+            self.long_memory_dict.extend(
+                LT.instances_from_detections(dets, depth, cam_tf, self.cfg))
+        self.long_memory_integration()
+
+    def long_memory_integration(self, threshold: Optional[int] = None):
+        self.long_memory_dict = LT.integrate(
+            self.long_memory_dict,
+            threshold or self.cfg.detector.dedup_l1_threshold)
+
+    def long_memory_filter(self) -> List[dict]:
+        if self.load_single_floor and self.floor_min_height is not None:
+            return LT.filter_by_floor(
+                self.long_memory_dict, self.floor_min_height,
+                self.floor_max_height)
+        return self.long_memory_dict
+
+    # ------------------------------------------------------------------
+    # env stepping (reference excute, memory_2.py:1086-1101)
+    # ------------------------------------------------------------------
+    def excute(self, obs, actions: Sequence[str]):
+        for action in actions:
+            if action == "stop":
+                continue
+            obs = self.Env.sims.step(action)
+            self.step_count += 1
+            state = self.Env.agent.get_state()
+            if self.step_count % 10 == 0:
+                self.base_height.append(float(state.position[1]))
+            self.push_frame(obs, state_to_pose_vec(state))
+        return obs
+
+    # ------------------------------------------------------------------
+    # queries (reference voxel_localized, memory_2.py:563-671)
+    # ------------------------------------------------------------------
+    def imaginary(self, text_prompt: str) -> np.ndarray:
+        """text -> query images via the imagination model
+        (memory_2.py:258-276; SD3.5 in the reference, pluggable here)."""
+        if self.imagination is None:
+            raise RuntimeError(
+                "no imagination model configured (text queries need one; "
+                "pass imagination= to VoxelTokenMemory)")
+        return self.imagination(text_prompt)
+
+    def voxel_localized(self, prompt, K: int = 100,
+                        region_radius: float = np.inf,
+                        curr_grid=None):
+        """Returns (best_pos [1,3], top_k_positions [<=K,3],
+        top_k_similarity [<=K]) like memory_2.py:671."""
+        self.flush()
+        if isinstance(prompt, str):
+            imgs = self.imaginary(prompt)
+        else:
+            arr = np.asarray(prompt)
+            imgs = arr[None] if arr.ndim == 3 else arr
+            imgs = imgs[:, :, :, :3]
+        imgs = jnp.asarray(imgs.astype(np.uint8))
+
+        use_region = np.isfinite(region_radius)
+        use_floor = (self.load_single_floor
+                     and self.floor_min_height is not None)
+        positions, scores = self.perception.query_step(
+            self.state, self.perception.vit_params, imgs, top_k=K,
+            use_region=bool(use_region),
+            curr_grid=jnp.asarray(
+                curr_grid if curr_grid is not None else np.zeros(3),
+                jnp.int32),
+            region_radius=float(region_radius if use_region else 0.0),
+            use_floor=bool(use_floor),
+            floor_range=jnp.asarray(
+                [self.floor_min_height or 0, self.floor_max_height or 0],
+                jnp.int32),
+        )
+        positions = np.asarray(positions)
+        scores = np.asarray(scores)
+        live = scores > -np.inf
+        positions, scores = positions[live], scores[live]
+        if len(positions) == 0:
+            return np.zeros((0, 3), int), np.zeros((0, 3), int), scores
+        return positions[:1], positions, scores
+
+    # ------------------------------------------------------------------
+    # memory construction flows
+    # ------------------------------------------------------------------
+    def exploring_create_memory(self, save: bool = True) -> None:
+        """Random-walk mapping (memory_2.py:1104-1145): visit
+        random_move_num same-island waypoints, spinning 360deg at each."""
+        pf = self.Env.plnner.pathfinder
+        obs = self.Env.sims.get_sensor_observations(0)
+        state = self.Env.agent.get_state()
+        self.push_frame(obs, state_to_pose_vec(state))
+        n_turns = int(360 / self.cfg.actions.turn_left_deg)
+        for _ in range(self.cfg.agent.random_move_num):
+            island_begin = pf.get_island(self.Env.agent.get_state().position)
+            subgoal = pf.get_random_navigable_point()
+            tries = 0
+            while ((not pf.is_navigable(subgoal)
+                    or pf.get_island(subgoal) != island_begin)
+                   and tries < 100):
+                subgoal = pf.get_random_navigable_point()
+                tries += 1
+            try:
+                path, goal = self.Env.move2point(subgoal)
+                obs = self.excute(obs, path)
+                self.base_height.append(
+                    float(self.Env.agent.get_state().position[1]))
+                obs = self.excute(obs, ["turn_left"] * n_turns)
+            except Exception as e:          # noqa: BLE001 (nav failures)
+                print(f"move failed: {e}")
+                continue
+        self.flush()
+        if save:
+            self.save()
+
+    def explore_entire_space(self, max_iterations: Optional[int] = None,
+                             save: bool = True) -> None:
+        """Frontier exploration (memory_2.py:1347-1387) using the
+        vectorized frontier ops."""
+        max_iterations = max_iterations or self.cfg.agent.explore_max_iterations
+        n_turns = int(360 / self.cfg.actions.turn_left_deg)
+        obs = self.Env.sims.get_sensor_observations(0)
+        origin = np.asarray(self.Env.original_state.position)
+        for _ in range(max_iterations):
+            obs = self.excute(obs, ["turn_left"] * n_turns)
+            self.flush()
+            known = self._known_mask()
+            navigable = self._navigable_mask(origin)
+            target = FR.select_frontier_target(known, navigable)
+            if target is None:
+                break
+            subgoal = self._grid2loc_2d(target[0], target[1], origin)
+            subgoal = self.Env.get_navigable_point_near(subgoal)
+            try:
+                path, goal = self.Env.move2point(subgoal)
+                obs = self.excute(obs, path)
+            except Exception as e:          # noqa: BLE001
+                print(f"frontier move failed: {e}")
+                continue
+        self.flush()
+        if save:
+            self.save()
+
+    def _known_mask(self) -> np.ndarray:
+        gs = self.gs
+        cv = np.asarray(self.state.cv_map)[: gs * gs].reshape(gs, gs, 3)
+        return cv.sum(axis=-1) > 0
+
+    def _navigable_mask(self, origin: np.ndarray) -> np.ndarray:
+        gs, cs = self.gs, self.cs
+        rows = origin[2] + (np.arange(gs) - gs // 2) * cs
+        cols = origin[0] + (np.arange(gs) - gs // 2) * cs
+        pf = self.Env.plnner.pathfinder
+        if hasattr(pf, "nav"):
+            # grid pathfinder: vectorized lookup
+            X, Z = np.meshgrid(cols, rows, indexing="xy")
+            out = np.zeros((gs, gs), bool)
+            for r in range(gs):
+                for c in range(gs):
+                    out[r, c] = pf.is_navigable(
+                        np.array([cols[c], pf.floor_y, rows[r]]))
+            return out
+        out = np.zeros((gs, gs), bool)
+        for r in range(gs):
+            for c in range(gs):
+                out[r, c] = pf.is_navigable(
+                    np.array([cols[c], origin[1], rows[r]]))
+        return out
+
+    def _grid2loc_2d(self, x: float, y: float, origin: np.ndarray):
+        """Frontier grid cell -> world (memory_2.py:1148-1158)."""
+        actual_y = origin[2] + (x - self.gs // 2) * self.cs
+        actual_x = origin[0] + (y - self.gs // 2) * self.cs
+        return np.array([actual_x, origin[1], actual_y])
+
+    # ------------------------------------------------------------------
+    # persistence
+    # ------------------------------------------------------------------
+    def save(self, path: Optional[str] = None) -> None:
+        self.flush()
+        path = path or self.memory_save_path
+        P.save_reference_format(
+            self.state, path, self.cfg.memory,
+            original_pos=np.asarray(self.Env.original_state.position),
+            base_height=self.base_height,
+            long_memory=self.long_memory_dict)
+
+    def load_memory(self, init_state=None, build_map: bool = False,
+                    path: Optional[str] = None) -> None:
+        path = path or self.memory_save_path
+        self.Env.reset(init_state=init_state, build_map=build_map)
+        if build_map:
+            return
+        self.state, meta = P.load_reference_format(path, self.cfg.memory)
+        self.long_memory_dict = list(meta["long_memory"])
+        self.base_height = list(meta["base_height"])
+        self.Env.original_state.position = np.asarray(meta["original_pos"])
+        self._inv_init_host = None
+        if self.load_single_floor and len(self.base_height):
+            n = int(self.state.num_voxels)
+            heights = np.asarray(self.state.slot_pos)[:n, 2]
+            agent_h = float(self.Env.agent.get_state().position[1])
+            _, self.floor_min_height, self.floor_max_height = (
+                F.current_floor_range(
+                    self.base_height, agent_h, heights, self.cs))
+
+    # reference alias (create_memory is keyboard-driven there,
+    # memory_2.py:1027; headless builds use the exploring variant)
+    def create_memory(self) -> None:
+        self.exploring_create_memory()

@@ -198,7 +198,8 @@ class _FakePlanner:
         return greedy_follow(
             state, wps,
             move_amount=self.env.move_amount,
-            turn_deg=self.env.turn_deg)
+            turn_deg=self.env.turn_deg,
+            is_navigable=self.pathfinder.is_navigable)
 
 
 class FakeNavEnv:

@@ -172,20 +172,64 @@ class GridPathfinder:
         cells.reverse()
         return [self.cell_to_world(i, j) for i, j in cells]
 
+    def distance_field(self, start) -> np.ndarray:
+        """Dijkstra geodesic distance (metres) from `start` to every
+        navigable cell; +inf elsewhere."""
+        si, sj = self.world_to_cell(self.snap_point(start))
+        dist = np.full(self.nav.shape, np.inf)
+        if not self.nav[si, sj]:
+            return dist
+        sqrt2 = math.sqrt(2.0)
+        dist[si, sj] = 0.0
+        openq = [(0.0, (si, sj))]
+        moves = [(-1, 0, 1.0), (1, 0, 1.0), (0, -1, 1.0), (0, 1, 1.0),
+                 (-1, -1, sqrt2), (-1, 1, sqrt2), (1, -1, sqrt2),
+                 (1, 1, sqrt2)]
+        while openq:
+            g, (i, j) = heapq.heappop(openq)
+            if g > dist[i, j]:
+                continue
+            for di, dj, c in moves:
+                ni, nj = i + di, j + dj
+                if not self._in_bounds(ni, nj) or not self.nav[ni, nj]:
+                    continue
+                if di and dj and not (self.nav[i + di, j] and self.nav[i, j + dj]):
+                    continue
+                ng = g + c
+                if ng < dist[ni, nj]:
+                    dist[ni, nj] = ng
+                    heapq.heappush(openq, (ng, (ni, nj)))
+        return dist * self.res
+
     def geodesic_distance(self, start, goal) -> float:
-        path = self.shortest_path(start, goal)
-        if path is None:
+        """Habitat-style distance-to-goal: the goal may be non-navigable
+        (an object's center); distance = min over navigable cells of
+        (geodesic from start) + (straight-line tail to the goal)."""
+        field = self.distance_field(start)
+        goal = np.asarray(goal, np.float64)
+        ii, jj = np.nonzero(np.isfinite(field))
+        if len(ii) == 0:
             return float("inf")
-        pts = np.asarray(path)
-        return float(np.linalg.norm(np.diff(pts, axis=0), axis=1).sum())
+        cx = self.origin[0] + (ii + 0.5) * self.res
+        cz = self.origin[1] + (jj + 0.5) * self.res
+        tail = np.hypot(cx - goal[0], cz - goal[2])
+        return float(np.min(field[ii, jj] + tail))
 
 
 def greedy_follow(state: AgentState, waypoints: List[np.ndarray],
                   move_amount: float = 0.25, turn_deg: float = 30.0,
                   goal_radius: float = 0.3, max_actions: int = 2000,
-                  ) -> List[str]:
+                  is_navigable=None) -> List[str]:
     """Convert a waypoint path into discrete actions by simulating the
-    agent (GreedyGeodesicFollower.find_path contract: ends with 'stop')."""
+    agent (GreedyGeodesicFollower.find_path contract: ends with 'stop').
+
+    When `is_navigable` is given, the simulation models collisions
+    exactly like the environment's step (a blocked move_forward leaves
+    the agent in place), so open-loop execution of the returned actions
+    reproduces the simulated trajectory.  Blocked moves trigger a turn
+    toward the following waypoint; persistent blockage skips the
+    waypoint.
+    """
     if not waypoints:
         return ["stop"]
     pos = np.asarray(state.position, np.float64).copy()
@@ -194,6 +238,7 @@ def greedy_follow(state: AgentState, waypoints: List[np.ndarray],
     actions: List[str] = []
     wp_i = 0
     goal = waypoints[-1]
+    blocked_streak = 0
 
     def target_point():
         # first waypoint further than half a step ahead
@@ -219,9 +264,23 @@ def greedy_follow(state: AgentState, waypoints: List[np.ndarray],
             else:
                 actions.append("turn_right")
                 yaw -= turn
-        else:
-            actions.append("move_forward")
-            pos[0] -= move_amount * math.sin(yaw)
-            pos[2] -= move_amount * math.cos(yaw)
+            continue
+        new_pos = pos.copy()
+        new_pos[0] -= move_amount * math.sin(yaw)
+        new_pos[2] -= move_amount * math.cos(yaw)
+        if is_navigable is not None and not is_navigable(new_pos):
+            # collision: same semantics as env.step (no motion); steer
+            # toward the next waypoint, skip it if persistently blocked
+            blocked_streak += 1
+            if blocked_streak >= 4 and wp_i < len(waypoints) - 1:
+                wp_i += 1
+                blocked_streak = 0
+                continue
+            actions.append("turn_left" if diff >= 0 else "turn_right")
+            yaw += turn if diff >= 0 else -turn
+            continue
+        blocked_streak = 0
+        actions.append("move_forward")
+        pos = new_pos
     actions.append("stop")
     return actions

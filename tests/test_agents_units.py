@@ -1,0 +1,149 @@
+"""Unit tests for agent-layer components: clustering, long-term memory,
+floors, frontier exploration, LLM contract parsing."""
+
+import numpy as np
+import pytest
+
+from bsc_nav_tpu.agents import llm as L
+from bsc_nav_tpu.agents.clustering import (
+    adaptive_clustering, weighted_cluster_centers)
+from bsc_nav_tpu.memory import floors as F
+from bsc_nav_tpu.memory import frontier as FR
+from bsc_nav_tpu.memory import longterm as LT
+from bsc_nav_tpu.models.detector import ColorPrototypeDetector, Detection
+from bsc_nav_tpu.agents import robot as R
+
+
+def test_weighted_cluster_centers_two_blobs(rng):
+    a = rng.normal(scale=1.0, size=(30, 3)) + np.array([0, 0, 0])
+    b = rng.normal(scale=1.0, size=(30, 3)) + np.array([50, 50, 0])
+    pos = np.vstack([a, b])
+    sim = np.concatenate([np.full(30, 0.9), np.full(30, 0.5)])
+    centers, labels, sizes = weighted_cluster_centers(pos, sim, eps=10,
+                                                      min_samples=5)
+    assert len(centers) == 2
+    # higher-similarity cluster first
+    assert np.linalg.norm(centers[0] - [0, 0, 0]) < 3
+    assert np.linalg.norm(centers[1] - [50, 50, 0]) < 3
+
+
+def test_adaptive_clustering(rng):
+    pts = np.vstack([rng.normal(scale=0.5, size=(40, 3)),
+                     rng.normal(scale=0.5, size=(40, 3)) + 20])
+    conf = np.ones(80)
+    centers, confs, labels = adaptive_clustering(pts, conf)
+    # the reference heuristic intentionally over-segments (utils.py:266,
+    # :279-289); require both blobs represented rather than an exact count
+    assert len(centers) >= 2
+    d0 = np.linalg.norm(centers - np.zeros(3), axis=1).min()
+    d1 = np.linalg.norm(centers - np.full(3, 20.0), axis=1).min()
+    assert d0 < 2.0 and d1 < 2.0
+
+
+def test_longterm_integration_dedup():
+    inst = [
+        {"label": "chair", "loc": [10, 10, 5], "confidence": 0.6},
+        {"label": "chair", "loc": [11, 10, 5], "confidence": 0.9},  # merge
+        {"label": "chair", "loc": [30, 10, 5], "confidence": 0.7},  # keep
+        {"label": "table", "loc": [10, 10, 5], "confidence": 0.8},  # other lbl
+    ]
+    out = LT.integrate(inst, threshold=3)
+    chairs = [o for o in out if o["label"] == "chair"]
+    assert len(chairs) == 2
+    # merged entry upgraded to the higher-confidence duplicate
+    near = [c for c in chairs if abs(c["loc"][0] - 10) <= 1][0]
+    assert near["confidence"] == 0.9 and near["loc"] == [11, 10, 5]
+    assert len([o for o in out if o["label"] == "table"]) == 1
+
+
+def test_floor_detection_two_floors():
+    base = [0.1] * 20 + [3.1] * 20
+    floors = F.detect_floors(base)
+    assert len(floors) == 2
+    assert abs(floors[0] - 0.1) < 0.05 and abs(floors[1] - 3.1) < 0.05
+
+    heights = np.concatenate([np.arange(0, 30), np.arange(30, 64)])
+    idx, lo, hi = F.current_floor_range(base, 0.2, heights, 0.1)
+    assert idx == 0
+    assert lo <= 5 and hi < 64
+
+
+def test_frontier_selection():
+    known = np.zeros((40, 40), bool)
+    known[:20] = True                  # bottom half explored
+    navigable = np.ones((40, 40), bool)
+    target = FR.select_frontier_target(known, navigable,
+                                       min_cluster_size=5, ig_radius=3)
+    assert target is not None
+    # frontier row sits at the known/unknown boundary
+    assert 17 <= target[0] <= 20
+
+    # fully-known map: exploration exhausted
+    assert FR.select_frontier_target(
+        np.ones((40, 40), bool), navigable) is None
+
+
+def test_color_detector_finds_box():
+    img = np.full((60, 60, 3), 200, np.uint8)
+    img[10:30, 20:40] = (200, 30, 30)
+    det = ColorPrototypeDetector({"bed": (200, 30, 30)}, confidence=0.5)
+    out = det.detect(img)
+    assert len(out) == 1
+    d = out[0]
+    assert d.label == "bed" and d.confidence > 0.5
+    x1, y1, x2, y2 = d.xyxy
+    assert (x1, y1, x2, y2) == (20.0, 10.0, 40.0, 30.0)
+
+
+def test_instances_from_detections_locates_in_grid():
+    from bsc_nav_tpu.config import small_test_config
+    cfg = small_test_config()
+    H = W = cfg.sensor.height
+    depth = np.full((H, W), 2.0, np.float32)
+    det = [Detection("bed", 0.9, (W // 2 - 5, H // 2 - 5, W // 2 + 5,
+                                  H // 2 + 5))]
+    cam_tf = np.eye(4)   # camera frame == allocentric frame
+    out = LT.instances_from_detections(det, depth, cam_tf, cfg)
+    assert len(out) == 1
+    r, c, h = out[0]["loc"]
+    # center pixel at depth 2: x~0, y~0, z=2 -> row=gs/2, col=gs/2, h=20-zmin
+    assert abs(r - cfg.memory.grid_size // 2) <= 1
+    assert abs(c - cfg.memory.grid_size // 2) <= 1
+    assert h == int(2.0 / cfg.memory.cell_size) - cfg.memory.zmin
+
+
+def test_llm_contract_regexes():
+    ans = ("**Result**: (Nav Loc 1: [10, 20, 5], Nav Loc 2: [11, 21, 6])")
+    m = R.PATTERN_RESULT.search(ans)
+    locs = R.PATTERN_RESULT_LOC.findall(m.group(1))
+    assert locs == [("10", "20", "5"), ("11", "21", "6")]
+
+    assert R.PATTERN_UNABLE.search("**Result**: (Nav Loc: Unable to find)")
+    assert R.PATTERN_SUCCESS.search("Success: yes\nneed forward: no")
+    assert R.PATTERN_FORWARD.search("need forward: no").group(1) == "no"
+    assert R.PATTERN_STRATEGY.search(
+        "**Strategy**: 'move_forward'").group(1) == "move_forward"
+
+
+def test_mock_llm_and_retry():
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise IOError("transient")
+        return "ok"
+
+    assert L.retry(flaky, attempts=5, base_delay=0.0) == "ok"
+
+    with pytest.raises(RuntimeError):
+        L.retry(lambda: "bad", attempts=2, base_delay=0.0,
+                validate=lambda a: a == "good")
+
+    client = L.MockLLMClient(
+        responders=[(lambda t: "Judge whether" in t,
+                     lambda t: "Success: yes\nneed forward: no")])
+    out = L.succeed_determine_singleview(
+        client, "a bed", [np.zeros((8, 8, 3), np.uint8)])
+    assert "Success: yes" in out
+    assert client.calls[0]["model"] == "gpt-4o"
