@@ -1,0 +1,68 @@
+"""Embodied QA driver (reference agent_eqa.py:267-340 +
+EQA_benchmark.py): per-question anchor navigation + view collection +
+VLM answer, with incremental results-json resume.
+
+  python -m benchmarks.eqa --env fake --episodes 3 --llm mock
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from benchmarks import common as C
+from benchmarks import setup as S
+from bsc_nav_tpu.agents.eqa import EQAAgent
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    S.add_common_args(p)
+    p.add_argument("--results-json", type=str, default="eqa_results.json")
+    args = p.parse_args(argv)
+    csv_path = args.csv or "eqa_results.csv"
+
+    cfg, bench, memory, extras = S.build_world(args, task="eqa")
+    robot = EQAAgent(memory, bench, llm_client=extras["llm"],
+                     matcher=extras["matcher"], llm_model=args.llm_model)
+
+    # incremental resume by question id (agent_eqa.py:287-296)
+    results = []
+    if os.path.exists(args.results_json):
+        with open(args.results_json) as f:
+            results = json.load(f)
+    finished = {r.get("question_id") for r in results}
+
+    for i in range(args.episodes):
+        obs = bench.reset()
+        ep = bench.current_episode
+        qid = f"{ep.scene_id}_{i}"
+        if qid in finished:
+            continue
+        if args.env == "fake":
+            S.ensure_memory_fake(robot, bench)
+        robot.reset(obs, log_dir=os.path.join(args.log_root,
+                                              f"trajectory_{i}"))
+        question = ep.question or f"What is next to the {ep.object_category}?"
+        _, answer = robot.main(question)
+
+        m = bench.get_metrics()
+        island, area = S.island_stats(bench)
+        C.write_metrics({
+            "success": m["success"], "spl": m["spl"],
+            "Ospl": m["oracle_spl"],
+            "distance_to_goal": m["distance_to_goal"],
+            "id": ep.scene_id, "island": island, "island_area": area,
+            **C.nav_telemetry(robot),
+        }, csv_path)
+
+        results.append({"question_id": qid, "question": question,
+                        "answer_4o": answer})
+        with open(args.results_json, "w") as f:
+            json.dump(results, f, indent=2)
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,49 @@
+"""Open-vocabulary ObjectNav (OVON) driver (reference
+ovnav_benchmark.py:44-136).  Same flow and CSV schema as objnav; the
+open-vocab category comes straight from the episode.
+
+  python -m benchmarks.ovnav --env fake --episodes 5 --llm mock
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from benchmarks import common as C
+from benchmarks import setup as S
+from bsc_nav_tpu.agents.robot import ObjectNavRobot
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    S.add_common_args(p)
+    args = p.parse_args(argv)
+    csv_path = args.csv or "ovnav_results.csv"
+
+    cfg, bench, memory, extras = S.build_world(args, task="ovon")
+    robot = ObjectNavRobot(memory, bench, llm_client=extras["llm"],
+                           matcher=extras["matcher"],
+                           llm_model=args.llm_model)
+
+    def episode_fn(robot, ep):
+        robot.move2textprompt(f"a {ep.object_category}")
+
+    def metrics_fn(robot, bench, ep):
+        m = bench.get_metrics()
+        island, area = S.island_stats(bench)
+        return {
+            "success": m["success"], "spl": m["spl"],
+            "distance_to_goal": m["distance_to_goal"],
+            "object_goal": ep.object_category,
+            "id": ep.scene_id, "island": island, "island_area": area,
+            **C.nav_telemetry(robot),
+        }
+
+    return C.run_episodes(
+        robot, bench, args.episodes, episode_fn, metrics_fn, csv_path,
+        log_root=args.log_root, record_video=args.record_video,
+        ensure_memory=S.ensure_memory_fake if args.env == "fake" else None)
+
+
+if __name__ == "__main__":
+    main()

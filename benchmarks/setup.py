@@ -1,0 +1,196 @@
+"""World construction for the benchmark drivers.
+
+Builds (cfg, bench_env, memory, robot deps) from CLI flags.  Two
+backends:
+  --env fake     synthetic box world, runnable anywhere (CI smoke runs)
+  --env habitat  habitat-sim scenes (requires the habitat conda stack;
+                 gated import, reference env.py:472-499 factories)
+
+Model weights: converted .npz checkpoints under --weights-dir activate
+the real DINOv2/CLIP paths; without them the fake-world color
+matchers/detectors keep every driver executable offline.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from bsc_nav_tpu.config import (
+    AgentConfig, Config, MemoryConfig, QueryConfig)
+from bsc_nav_tpu.agents import llm as L
+from bsc_nav_tpu.agents.matchers import CLIPMatcher, ColorViewScorer
+from bsc_nav_tpu.agents.spatial_memory import Perception, VoxelTokenMemory
+from bsc_nav_tpu.env.benchmark import FakeBenchmarkEnv, episodes_for_scene
+from bsc_nav_tpu.env.fake import BoxScene
+from bsc_nav_tpu.env.pathfinding import AgentState, Quat
+from bsc_nav_tpu.models import vit
+from bsc_nav_tpu.models.detector import ColorPrototypeDetector
+
+FAKE_PROTOTYPES = {
+    "bed": (200, 30, 30),
+    "plant": (30, 180, 40),
+    "sofa": (40, 60, 220),
+    "tv monitor": (230, 220, 40),
+    "table": (150, 90, 40),
+}
+
+
+def add_common_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--env", choices=["fake", "habitat"], default="fake")
+    p.add_argument("--episodes", type=int, default=5)
+    p.add_argument("--csv", type=str, default=None)
+    p.add_argument("--llm", choices=["mock", "openai"], default="mock")
+    p.add_argument("--llm-model", type=str, default="gpt-4o")
+    p.add_argument("--memory-root", type=str, default="./memory")
+    p.add_argument("--weights-dir", type=str, default=None)
+    p.add_argument("--record-video", action="store_true")
+    p.add_argument("--log-root", type=str, default="./tmp")
+    p.add_argument("--use-only-working-memory", action="store_true")
+    p.add_argument("--load-single-floor", action="store_true")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--seed", type=int, default=0)
+    # habitat backend paths (reference args.py:90-107)
+    p.add_argument("--benchmark-dataset", default="hm3d")
+    p.add_argument("--scene-prefix", default="")
+    p.add_argument("--episode-prefix", default="")
+    p.add_argument("--success-distance", type=float, default=None)
+
+
+def fake_config(args) -> Config:
+    return Config(
+        sensor=__import__("bsc_nav_tpu.config", fromlist=["SensorConfig"]
+                          ).SensorConfig(width=64, height=64),
+        memory=MemoryConfig(
+            grid_size=96, floor_height=-3.2, map_height=3.2, token_dim=32,
+            cache_size=4, voxel_capacity=(1 << 13) - 8, depth_sample_rate=4),
+        query=QueryConfig(top_k=32, query_width=56, query_height=56,
+                          cluster_min_samples=3),
+        agent=AgentConfig(
+            random_move_num=3,
+            use_only_working_memory=args.use_only_working_memory,
+            load_single_floor=args.load_single_floor,
+            max_path_len=500),
+        memory_path=args.memory_root,
+        seed=args.seed,
+    )
+
+
+def habitat_config(args) -> Config:
+    cfg = Config(memory_path=args.memory_root)
+    return cfg.replace(agent=AgentConfig(
+        use_only_working_memory=args.use_only_working_memory,
+        load_single_floor=args.load_single_floor))
+
+
+def make_llm(args):
+    if args.llm == "openai":
+        return L.OpenAICompatClient()
+    return L.MockLLMClient(responders=[
+        (lambda t: "Judge whether" in t or "Compare the goal image" in t,
+         lambda t: "Success: yes\nneed forward: no"),
+        (lambda t: "Rewrite the following" in t, lambda t: t[-500:]),
+        (lambda t: "Decompose the indoor navigation" in t,
+         lambda t: "1. Move to the {bed}\n2. Move to the {sofa}"),
+        (lambda t: "names a nearby target" in t, lambda t: "a bed"),
+        (lambda t: "navigates to the relevant instance" in t,
+         lambda t: "Now, we need to go to {a bed}"),
+        (lambda t: "Answer the question" in t, lambda t: "mock answer"),
+    ])
+
+
+class SceneImagination:
+    """Fake-backend imagination: render the named scene object
+    (stand-in for the SD3.5 text->image path, memory_2.py:258-276)."""
+
+    def __init__(self, cfg, scene: BoxScene):
+        import math
+        from bsc_nav_tpu.env.fake import FakeNavEnv
+        self.scene = scene
+        self.env = FakeNavEnv(cfg, scene=scene, seed=17)
+        self._math = math
+
+    def __call__(self, text: str) -> np.ndarray:
+        math = self._math
+        box = next((b for b in self.scene.boxes
+                    if b.label and b.label in text), self.scene.boxes[0])
+        c = np.asarray(box.center)
+        views = []
+        for off in [(-0.8, -0.8), (-0.9, 0.0), (0.0, -0.9)]:
+            pos = c + np.array([off[0], -c[1], off[1]])
+            yaw = math.atan2(-(c[0] - pos[0]), -(c[2] - pos[2]))
+            self.env.agent.set_state(AgentState(pos, Quat.from_yaw(yaw)))
+            self.env.pitch = -math.radians(45)
+            obs = self.env.sims.get_sensor_observations(0)
+            views.append(obs["rgb"][:, :, :3])
+        return np.stack(views)
+
+
+def build_world(args, task: str = "objnav"
+                ) -> Tuple[Config, object, VoxelTokenMemory, dict]:
+    """Returns (cfg, bench_env, memory, extras) with extras carrying the
+    llm client / matcher / imagination for robot construction."""
+    if args.env == "habitat":
+        from bsc_nav_tpu.env.habitat_env import build_habitat_world
+        return build_habitat_world(args, task)
+
+    cfg = fake_config(args)
+    scene = BoxScene.default()
+    episodes = episodes_for_scene(scene, start=(0.0, 0.0, 0.0),
+                                  seed=args.seed)
+    if task == "vlnce":
+        for ep in episodes:
+            ep.instruction = (f"Walk to the {ep.object_category} and stop "
+                              f"right in front of it.")
+    if task == "eqa":
+        for ep in episodes:
+            ep.question = f"What color is the {ep.object_category}?"
+    if task == "textnav":
+        for ep in episodes:
+            ep.intrinsic_attributes = f"a {ep.object_category}"
+            ep.extrinsic_attributes = "in the corner of the room"
+    bench = FakeBenchmarkEnv(
+        cfg, episodes, scene=scene, seed=args.seed,
+        success_distance=args.success_distance or 1.5)
+
+    vit_cfg = vit.ViTConfig(img_size=56, patch_size=14, dim=32, depth=2,
+                            heads=2, num_registers=1)
+    perception = Perception.create(cfg, vit_cfg=vit_cfg,
+                                   batch_size=args.batch_size)
+    detector = ColorPrototypeDetector(FAKE_PROTOTYPES, confidence=0.5)
+    imagination = SceneImagination(cfg, scene)
+    memory = VoxelTokenMemory(
+        cfg, env=bench.nav_env, perception=perception, detector=detector,
+        imagination=imagination)
+
+    extras = {
+        "llm": make_llm(args),
+        "matcher": ColorViewScorer(FAKE_PROTOTYPES),
+        "imagination": imagination,
+        "scene": scene,
+    }
+    return cfg, bench, memory, extras
+
+
+def ensure_memory_fake(robot, bench) -> None:
+    """Build the scene memory once (the per-scene caching of the
+    reference drivers, objnav_benchmark.py:1289-1294)."""
+    if int(robot.memory.state.num_voxels) > 0:
+        return
+    state = bench.sim.agents[0].get_state()
+    bench.nav_env.reset(
+        init_state=AgentState(np.asarray(state.position), Quat()),
+        build_map=True)
+    robot.memory.exploring_create_memory(save=False)
+    # restore the episode start pose
+    bench.nav_env.agent.set_state(state)
+
+
+def island_stats(bench):
+    pf = bench.sim.pathfinder
+    state = bench.sim.agents[0].get_state()
+    island = pf.get_island(state.position)
+    return island, pf.island_area(island)

@@ -76,6 +76,8 @@ class FakeBenchmarkEnv:
         self._path_length = 0.0
         self._shortest = float("inf")
         self._called_stop = False
+        self._min_dist = float("inf")
+        self._len_at_min = 0.0
 
     # --- episode control ---------------------------------------------------
     @property
@@ -96,6 +98,8 @@ class FakeBenchmarkEnv:
         self.episode_over = False
         self._called_stop = False
         self._path_length = 0.0
+        self._min_dist = float("inf")
+        self._len_at_min = 0.0
         self._shortest = min(
             (self._env.pathfinder.geodesic_distance(
                 ep.start_position, g) for g in ep.goal_positions),
@@ -105,8 +109,13 @@ class FakeBenchmarkEnv:
     def step(self, action: str):
         prev = self._env.position.copy()
         obs = self._env.step(action)
-        self._path_length += float(
-            np.linalg.norm(self._env.position - prev))
+        moved = float(np.linalg.norm(self._env.position - prev))
+        self._path_length += moved
+        if moved > 0:
+            d = self._distance_to_goal()
+            if d < self._min_dist:
+                self._min_dist = d
+                self._len_at_min = self._path_length
         if action == "stop":
             self.episode_over = True
             self._called_stop = True
@@ -126,9 +135,16 @@ class FakeBenchmarkEnv:
         spl = 0.0
         if success and np.isfinite(self._shortest):
             spl = self._shortest / max(self._shortest, self._path_length, 1e-6)
+        # OracleSPL: SPL under oracle stopping at the best point visited
+        # (reference vlnce_maps.py:26-43 OracleSPL measure)
+        o_success = float(min(self._min_dist, d) <= self.success_distance)
+        ospl = 0.0
+        if o_success and np.isfinite(self._shortest):
+            ospl = self._shortest / max(self._shortest, self._len_at_min, 1e-6)
         return {
             "success": success,
             "spl": spl,
+            "oracle_spl": ospl,
             "distance_to_goal": d,
             "path_length": self._path_length,
         }

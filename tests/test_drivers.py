@@ -1,0 +1,81 @@
+"""Driver smoke tests: every benchmark driver runs end-to-end on the
+fake world with the mock LLM, producing resumable CSVs the summarizer
+can aggregate."""
+
+import json
+import os
+
+import pytest
+
+
+def run_in(tmp_path, fn, argv):
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        return fn(argv)
+    finally:
+        os.chdir(cwd)
+
+
+def test_objnav_driver_and_summary(tmp_path):
+    from benchmarks import objnav, metric_summ
+    from benchmarks.common import get_start_episode
+
+    argv = ["--env", "fake", "--episodes", "2", "--llm", "mock",
+            "--csv", str(tmp_path / "r.csv"),
+            "--log-root", str(tmp_path / "tmp")]
+    records = run_in(tmp_path, objnav.main, argv)
+    assert len(records) == 2
+    csv_path = str(tmp_path / "r.csv")
+    assert os.path.exists(csv_path)
+
+    overall = metric_summ.main([csv_path])
+    assert overall["episodes"] == 2
+    assert 0.0 <= overall["success_rate"] <= 1.0
+
+    # resume semantics: a re-run skips completed rows
+    assert get_start_episode(csv_path) == 1  # rows-2 (header + last row)
+    records2 = run_in(tmp_path, objnav.main, argv)
+    assert len(records2) == 1
+
+
+def test_vlnce_driver(tmp_path):
+    from benchmarks import vlnce
+    argv = ["--env", "fake", "--episodes", "1", "--llm", "mock",
+            "--csv", str(tmp_path / "v.csv"),
+            "--log-root", str(tmp_path / "tmp")]
+    records = run_in(tmp_path, vlnce.main, argv)
+    assert len(records) == 1
+    m = records[0].metrics
+    assert "Ospl" in m and "instruction" in m
+
+
+def test_eqa_driver(tmp_path):
+    from benchmarks import eqa
+    argv = ["--env", "fake", "--episodes", "1", "--llm", "mock",
+            "--csv", str(tmp_path / "e.csv"),
+            "--results-json", str(tmp_path / "eqa.json"),
+            "--log-root", str(tmp_path / "tmp")]
+    results = run_in(tmp_path, eqa.main, argv)
+    assert len(results) == 1
+    assert results[0]["answer_4o"] == "mock answer"
+    saved = json.load(open(tmp_path / "eqa.json"))
+    assert saved[0]["question_id"] == results[0]["question_id"]
+
+    # resume: second run skips the finished question
+    results2 = run_in(tmp_path, eqa.main, argv)
+    assert len(results2) == 1   # same list reloaded, nothing re-run
+
+
+def test_create_memory_driver(tmp_path):
+    from benchmarks import create_memory
+    from bsc_nav_tpu.memory.persistence import load_reference_format
+
+    argv = ["--env", "fake", "--episodes", "1",
+            "--memory-root", str(tmp_path / "memory"),
+            "--log-root", str(tmp_path / "tmp")]
+    built = run_in(tmp_path, create_memory.main, argv)
+    assert len(built) == 1
+    path = next(iter(built))
+    assert os.path.exists(os.path.join(path, "feat.h5df"))
+    assert os.path.exists(os.path.join(path, "long_memory.json"))
