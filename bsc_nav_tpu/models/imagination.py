@@ -1,0 +1,97 @@
+"""Text -> query-image "imagination" pipeline.
+
+Composes the framework's diffusion stack into the `imagine(text) ->
+uint8 images` protocol the spatial memory consumes (reference
+`imaginary`, memory_2.py:258-276: 3 images, 512^2, 28 steps, cfg 7.0):
+
+  text --CLIP text tower(s)--> (context tokens, pooled) --MMDiT-->
+  latents --VAE decode--> images
+
+The reference conditions SD3.5 with CLIP-L + CLIP-G + T5; this pipeline
+is parameterized by whatever text encoders are supplied (our converted
+CLIP towers; a T5 port can be slotted in without touching callers).
+Everything under one jit; bf16 compute.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bsc_nav_tpu.models import clip as C
+from bsc_nav_tpu.models import mmdit as M
+from bsc_nav_tpu.models import tokenizer as T
+from bsc_nav_tpu.models import vae as V
+
+
+@dataclasses.dataclass
+class DiffusionImagination:
+    """Callable matching the VoxelTokenMemory imagination protocol."""
+
+    mmdit_params: dict
+    mmdit_cfg: M.MMDiTConfig
+    vae_params: dict
+    vae_cfg: V.VAEConfig
+    clip_params: dict
+    clip_cfg: C.CLIPConfig
+    tokenizer: object
+    num_images: int = 3
+    num_steps: int = 28
+    guidance_scale: float = 7.0
+    seed: int = 0
+
+    def __post_init__(self):
+        ccfg, mcfg = self.clip_cfg, self.mmdit_cfg
+
+        def encode_text(ids):
+            # sequence features from the text tower (pre-pool), plus the
+            # pooled embedding; projected/padded into the MMDiT context
+            t = self.clip_params["text"]
+            x = t["token_embedding"][ids] + t["pos_embed"][None]
+            x = C._tower_forward(x, t["blocks"], ccfg.text_heads,
+                                 ccfg.ln_eps, causal=True)
+            from bsc_nav_tpu.models.vit import layer_norm
+            x = layer_norm(x, t["ln_final"], ccfg.ln_eps)
+            eot = jnp.argmax(ids, axis=-1)
+            pooled = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
+            # pad/truncate widths into the MMDiT conditioning dims
+            ctx = _fit(x, mcfg.context_dim)
+            pool = _fit(pooled, mcfg.pooled_dim)
+            return ctx, pool
+
+        def _fit(x, dim):
+            d = x.shape[-1]
+            if d == dim:
+                return x
+            if d > dim:
+                return x[..., :dim]
+            pad = [(0, 0)] * (x.ndim - 1) + [(0, dim - d)]
+            return jnp.pad(x, pad)
+
+        @jax.jit
+        def run(ids, ids_uncond, key):
+            ctx, pool = encode_text(ids)
+            ctx_u, pool_u = encode_text(ids_uncond)
+            n = self.num_images
+            rep = lambda a: jnp.repeat(a, n, axis=0)
+            lat = M.sample(
+                self.mmdit_params, key, rep(ctx), rep(pool), mcfg,
+                num_steps=self.num_steps,
+                guidance_scale=self.guidance_scale,
+                context_uncond=rep(ctx_u), pooled_uncond=rep(pool_u))
+            img = V.decode(self.vae_params, lat, self.vae_cfg)
+            return V.to_uint8(img)
+
+        self._run = run
+        self._key = jax.random.PRNGKey(self.seed)
+
+    def __call__(self, text: str) -> np.ndarray:
+        ids = T.tokenize([text], self.tokenizer)
+        ids_u = T.tokenize([""], self.tokenizer)
+        self._key, sub = jax.random.split(self._key)
+        return np.asarray(self._run(jnp.asarray(ids), jnp.asarray(ids_u),
+                                    sub))

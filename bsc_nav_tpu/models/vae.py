@@ -1,0 +1,161 @@
+"""VAE decoder: diffusion latents -> RGB images.
+
+The SD3-family autoencoder decoder (the reference gets it inside the
+diffusers StableDiffusion3Pipeline, memory_2.py:555-559): conv-in,
+middle (resnet / single-head attention / resnet), four up-stages of
+resnet blocks with nearest-neighbor upsampling, groupnorm + silu +
+conv-out.  Channel plan (128, 256, 512, 512) reversed for decoding;
+16-channel latents for SD3.
+
+Implemented with lax.conv_general_dilated in NHWC (XLA maps these onto
+the MXU); the encoder is not needed by this framework (images are never
+encoded back to latents on the query path).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEConfig:
+    latent_channels: int = 16
+    base_channels: int = 128
+    channel_mults: tuple = (1, 2, 4, 4)
+    blocks_per_stage: int = 3       # decoder uses layers_per_block + 1
+    groups: int = 32
+    scaling_factor: float = 1.5305  # SD3 latent scaling
+    shift_factor: float = 0.0609
+
+
+SD3_VAE = VAEConfig()
+VAE_TEST = VAEConfig(latent_channels=4, base_channels=16,
+                     channel_mults=(1, 2), blocks_per_stage=2, groups=4,
+                     scaling_factor=1.0, shift_factor=0.0)
+
+
+def _conv_init(key, kh, kw, cin, cout, dtype):
+    w = jax.random.normal(key, (kh, kw, cin, cout), dtype)
+    return {"w": w / math.sqrt(kh * kw * cin), "b": jnp.zeros((cout,), dtype)}
+
+
+def _gn_init(c, dtype):
+    return {"scale": jnp.ones((c,), dtype), "bias": jnp.zeros((c,), dtype)}
+
+
+def init_params(cfg: VAEConfig, key, dtype=jnp.float32) -> Dict[str, Any]:
+    ks = iter(jax.random.split(key, 256))
+    chans = [cfg.base_channels * m for m in cfg.channel_mults]
+    top = chans[-1]
+
+    def resnet(cin, cout):
+        p = {
+            "gn1": _gn_init(cin, dtype),
+            "conv1": _conv_init(next(ks), 3, 3, cin, cout, dtype),
+            "gn2": _gn_init(cout, dtype),
+            "conv2": _conv_init(next(ks), 3, 3, cout, cout, dtype),
+        }
+        if cin != cout:
+            p["skip"] = _conv_init(next(ks), 1, 1, cin, cout, dtype)
+        return p
+
+    params: Dict[str, Any] = {
+        "conv_in": _conv_init(next(ks), 3, 3, cfg.latent_channels, top, dtype),
+        "mid_res1": resnet(top, top),
+        "mid_attn": {
+            "gn": _gn_init(top, dtype),
+            "q": _conv_init(next(ks), 1, 1, top, top, dtype),
+            "k": _conv_init(next(ks), 1, 1, top, top, dtype),
+            "v": _conv_init(next(ks), 1, 1, top, top, dtype),
+            "o": _conv_init(next(ks), 1, 1, top, top, dtype),
+        },
+        "mid_res2": resnet(top, top),
+        "stages": [],
+        "gn_out": _gn_init(chans[0], dtype),
+        "conv_out": _conv_init(next(ks), 3, 3, chans[0], 3, dtype),
+    }
+    cin = top
+    for cout in reversed(chans):
+        stage: Dict[str, Any] = {"res": []}
+        for _ in range(cfg.blocks_per_stage):
+            stage["res"].append(resnet(cin, cout))
+            cin = cout
+        stage["upconv"] = _conv_init(next(ks), 3, 3, cout, cout, dtype)
+        params["stages"].append(stage)
+    # last stage has no upsample
+    params["stages"][-1].pop("upconv")
+    return params
+
+
+def _conv(x, p, stride=1):
+    y = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype), (stride, stride), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    return (y + p["b"].astype(jnp.float32)).astype(x.dtype)
+
+
+def _group_norm(x, p, groups):
+    B, H, W, C = x.shape
+    g = min(groups, C)
+    xf = x.astype(jnp.float32).reshape(B, H, W, g, C // g)
+    mu = xf.mean(axis=(1, 2, 4), keepdims=True)
+    var = xf.var(axis=(1, 2, 4), keepdims=True)
+    xf = (xf - mu) * jax.lax.rsqrt(var + 1e-6)
+    xf = xf.reshape(B, H, W, C)
+    return (xf * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def _resnet(x, p, groups):
+    h = _conv(jax.nn.silu(_group_norm(x, p["gn1"], groups)), p["conv1"])
+    h = _conv(jax.nn.silu(_group_norm(h, p["gn2"], groups)), p["conv2"])
+    if "skip" in p:
+        x = _conv(x, p["skip"])
+    return x + h
+
+
+def _mid_attention(x, p, groups):
+    B, H, W, C = x.shape
+    h = _group_norm(x, p["gn"], groups)
+    q = _conv(h, p["q"]).reshape(B, H * W, C)
+    k = _conv(h, p["k"]).reshape(B, H * W, C)
+    v = _conv(h, p["v"]).reshape(B, H * W, C)
+    att = jax.nn.softmax(
+        jnp.einsum("bqc,bkc->bqk", q, k,
+                   preferred_element_type=jnp.float32) / math.sqrt(C),
+        axis=-1)
+    out = jnp.einsum("bqk,bkc->bqc", att.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    return x + _conv(out.reshape(B, H, W, C), p["o"])
+
+
+def _upsample(x):
+    B, H, W, C = x.shape
+    x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    return x
+
+
+def decode(params, latents: jnp.ndarray, cfg: VAEConfig) -> jnp.ndarray:
+    """latents [B, h, w, latent_channels] -> RGB float in [-1, 1]
+    [B, 8h', 8w', 3] (x2 per up-stage)."""
+    x = latents / cfg.scaling_factor + cfg.shift_factor
+    x = _conv(x, params["conv_in"])
+    x = _resnet(x, params["mid_res1"], cfg.groups)
+    x = _mid_attention(x, params["mid_attn"], cfg.groups)
+    x = _resnet(x, params["mid_res2"], cfg.groups)
+    for stage in params["stages"]:
+        for res in stage["res"]:
+            x = _resnet(x, res, cfg.groups)
+        if "upconv" in stage:
+            x = _conv(_upsample(x), stage["upconv"])
+    x = jax.nn.silu(_group_norm(x, params["gn_out"], cfg.groups))
+    return _conv(x, params["conv_out"])
+
+
+def to_uint8(images: jnp.ndarray) -> jnp.ndarray:
+    return jnp.clip((images + 1.0) * 127.5, 0, 255).astype(jnp.uint8)

@@ -1,0 +1,118 @@
+"""Tests for the MMDiT diffusion transformer, VAE decoder, and the
+imagination pipeline (tiny configs)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from bsc_nav_tpu.models import mmdit as M
+from bsc_nav_tpu.models import vae as V
+from bsc_nav_tpu.models import clip as CL
+from bsc_nav_tpu.models import tokenizer as T
+from bsc_nav_tpu.models.imagination import DiffusionImagination
+
+
+CFG = M.MMDIT_TEST
+
+
+def test_forward_shapes_and_determinism():
+    params = M.init_params(CFG, jax.random.PRNGKey(0))
+    B, S = 2, 6
+    lat = jax.random.normal(jax.random.PRNGKey(1),
+                            (B, CFG.input_size, CFG.input_size,
+                             CFG.in_channels))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (B, S, CFG.context_dim))
+    pooled = jax.random.normal(jax.random.PRNGKey(3), (B, CFG.pooled_dim))
+    t = jnp.array([0.5, 0.9])
+    v1 = M.forward(params, lat, t, ctx, pooled, CFG)
+    v2 = M.forward(params, lat, t, ctx, pooled, CFG)
+    assert v1.shape == lat.shape
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    assert np.isfinite(np.asarray(v1)).all()
+
+
+def test_adaln_zero_init_gives_zero_velocity():
+    """adaLN-Zero: with zero-initialized modulation/output layers the
+    velocity must be exactly zero at init (DiT training stability
+    property; also catches wiring bugs)."""
+    params = M.init_params(CFG, jax.random.PRNGKey(0))
+    lat = jnp.ones((1, CFG.input_size, CFG.input_size, CFG.in_channels))
+    ctx = jnp.ones((1, 4, CFG.context_dim))
+    pooled = jnp.ones((1, CFG.pooled_dim))
+    v = M.forward(params, lat, jnp.array([0.5]), ctx, pooled, CFG)
+    np.testing.assert_allclose(np.asarray(v), 0.0, atol=1e-6)
+
+
+def test_patchify_roundtrip():
+    lat = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 4))
+    tok = M.patchify_latent(lat, 2)
+    assert tok.shape == (2, 16, 16)
+    back = M.unpatchify_latent(tok, 2, 8, 8, 4)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(lat))
+
+
+def test_context_length_independence():
+    """Joint attention must accept any text length (SD3 pads to 77+T5)."""
+    params = M.init_params(CFG, jax.random.PRNGKey(0))
+    lat = jnp.zeros((1, CFG.input_size, CFG.input_size, CFG.in_channels))
+    pooled = jnp.zeros((1, CFG.pooled_dim))
+    for S in (3, 16):
+        v = M.forward(params, lat, jnp.array([0.1]),
+                      jnp.zeros((1, S, CFG.context_dim)), pooled, CFG)
+        assert v.shape == lat.shape
+
+
+def test_sigma_schedule():
+    s = np.asarray(M.shifted_sigmas(28, shift=3.0))
+    assert s[0] == 1.0                      # starts at pure noise
+    assert (np.diff(s) < 0).all()           # strictly decreasing
+    assert s[-1] > 0
+
+
+def test_sampler_runs():
+    params = M.init_params(CFG, jax.random.PRNGKey(0))
+    ctx = jnp.zeros((1, 4, CFG.context_dim))
+    pooled = jnp.zeros((1, CFG.pooled_dim))
+    lat = M.sample(params, jax.random.PRNGKey(1), ctx, pooled, CFG,
+                   num_steps=4, guidance_scale=2.0,
+                   context_uncond=ctx, pooled_uncond=pooled)
+    assert lat.shape == (1, CFG.input_size, CFG.input_size, CFG.in_channels)
+    assert np.isfinite(np.asarray(lat)).all()
+
+
+def test_vae_decoder_shapes():
+    cfg = V.VAE_TEST
+    params = V.init_params(cfg, jax.random.PRNGKey(0))
+    lat = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 4,
+                                                    cfg.latent_channels))
+    img = V.decode(params, lat, cfg)
+    # one upsample stage in VAE_TEST: 4 -> 8
+    assert img.shape == (1, 8, 8, 3)
+    u8 = V.to_uint8(img)
+    assert u8.dtype == jnp.uint8
+
+
+def test_imagination_pipeline_end_to_end():
+    ccfg = CL.CLIP_VITB32_TEST
+    clip_params = CL.init_params(ccfg, jax.random.PRNGKey(0))
+    imag = DiffusionImagination(
+        mmdit_params=M.init_params(CFG, jax.random.PRNGKey(1)),
+        mmdit_cfg=CFG,
+        vae_params=V.init_params(
+            V.VAE_TEST.__class__(latent_channels=CFG.in_channels,
+                                 base_channels=16, channel_mults=(1, 2),
+                                 blocks_per_stage=2, groups=4,
+                                 scaling_factor=1.0, shift_factor=0.0),
+            jax.random.PRNGKey(2)),
+        vae_cfg=V.VAE_TEST.__class__(
+            latent_channels=CFG.in_channels, base_channels=16,
+            channel_mults=(1, 2), blocks_per_stage=2, groups=4,
+            scaling_factor=1.0, shift_factor=0.0),
+        clip_params=clip_params,
+        clip_cfg=ccfg,
+        tokenizer=T.HashTokenizer(vocab_size=ccfg.vocab_size,
+                                  context_length=ccfg.context_length),
+        num_images=2, num_steps=2)
+    out = imag("a red chair")
+    assert out.shape == (2, CFG.input_size * 2, CFG.input_size * 2, 3)
+    assert out.dtype == np.uint8
