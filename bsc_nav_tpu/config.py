@@ -78,7 +78,11 @@ class MemoryConfig:
     point_capacity: int = 1 << 20           # max distinct rgb point ids (gs*gs in ref)
     # Gaussian observation weighting (memory_2.py:873-875)
     alpha_sigma_sq: float = 0.6
-    # surprise replacement policy thresholds (memory_2.py:113-115)
+    # token replacement policy: "dist" = append + random replacement
+    # (memory_2.py:326-358); "surprise" = neighborhood-novelty gating +
+    # most-similar replacement (memory_2.py:364-536, TPU redesign: the
+    # novelty baseline is the running mean token of each neighbor voxel)
+    replacement: str = "dist"
     neighbor_radius: int = 1
     boring_threshold: float = 0.95
     surprise_threshold: float = 0.5

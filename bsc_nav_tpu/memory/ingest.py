@@ -229,10 +229,52 @@ def ingest_frames(
     max_height = state.max_height.at[wcell].set(rc[:, 2], mode="drop")
 
     # ======================================================================
-    # 4. token cache insert: append-then-random-replace (memory_2.py:345-354)
+    # 4. token cache insert
+    #    dist policy:     append-then-random-replace (memory_2.py:345-354)
+    #    surprise policy: neighborhood-novelty gate + most-similar
+    #                     replacement (memory_2.py:364-536; two-phase --
+    #                     novelty is judged against the PRE-batch running
+    #                     mean token of the 26 neighbor voxels)
     # ======================================================================
-    # arrival rank of each point within its voxel this batch
-    skey = jnp.where(valid, slot, jnp.int32(2**31 - 1))
+    tok_norm = jnp.sqrt(
+        jnp.sum(token.astype(jnp.float32) ** 2, axis=-1)
+    )
+    cache_valid = valid
+    feat_sum, feat_obs = state.feat_sum, state.feat_obs
+    if mem.replacement == "surprise":
+        r = mem.neighbor_radius
+        offs = jnp.asarray(
+            [(dr, dc, dh)
+             for dr in range(-r, r + 1)
+             for dc in range(-r, r + 1)
+             for dh in range(-r, r + 1)
+             if (dr, dc, dh) != (0, 0, 0)], jnp.int32)       # [26, 3]
+        nrc = rc[:, None, :] + offs[None]                    # [N, 26, 3]
+        n_ok = (
+            (nrc[..., 0] >= 0) & (nrc[..., 0] < Gs)
+            & (nrc[..., 1] >= 0) & (nrc[..., 1] < Gs)
+            & (nrc[..., 2] >= 0) & (nrc[..., 2] < Hc)
+        )
+        nlid = jnp.where(n_ok, linear_voxel_id(nrc, Gs, Hc), GARBAGE_LID)
+        nslot = jnp.where(slot_map[nlid] >= 0, slot_map[nlid], V)
+        n_obs = feat_obs[nslot]                              # pre-batch
+        n_ok &= n_obs > 0
+        n_mean = feat_sum[nslot] / jnp.maximum(n_obs, 1.0)[..., None]
+        n_mean_norm = jnp.linalg.norm(n_mean, axis=-1)
+        cos = jnp.einsum("nkd,nd->nk", n_mean,
+                         token.astype(jnp.float32), precision=_HI)
+        cos = cos / jnp.maximum(n_mean_norm * tok_norm[:, None], 1e-12)
+        cos_dist = jnp.where(n_ok, 1.0 - cos, jnp.inf)
+        surprise = jnp.min(cos_dist, axis=-1)
+        existed_before = looked >= 0
+        cache_valid = valid & (
+            ~existed_before | (surprise > mem.surprise_threshold))
+        # running statistics updated with every valid observation
+        feat_sum = feat_sum.at[slot_g].add(token.astype(jnp.float32))
+        feat_obs = feat_obs.at[slot_g].add(valid.astype(jnp.float32))
+
+    # arrival rank of each inserting point within its voxel this batch
+    skey = jnp.where(cache_valid, slot, jnp.int32(2**31 - 1))
     s_sorted, o_sorted, idx_sorted = jax.lax.sort(
         (skey, order, order), num_keys=2
     )
@@ -247,14 +289,26 @@ def ingest_frames(
     rank_by_point = jnp.zeros((N,), jnp.int32).at[idx_sorted].set(s_rank)
 
     pos_k = state.feat_count[slot_g] + rank_by_point
-    rand_idx = jax.random.randint(repl_key, (N,), 0, K, dtype=jnp.int32)
-    write_k = jnp.where(pos_k < K, pos_k, rand_idx)
+    if mem.replacement == "surprise":
+        # replace the cached token MOST similar to the incoming one
+        # (memory_2.py:459-465)
+        cached = state.feats[slot_g].astype(jnp.float32)     # [N, K, D]
+        csim = jnp.einsum("nkd,nd->nk", cached,
+                          token.astype(jnp.float32), precision=_HI)
+        csim = csim / jnp.maximum(
+            state.feat_norm[slot_g] * tok_norm[:, None], 1e-12)
+        kmask = (jnp.arange(K)[None, :] < state.feat_count[slot_g][:, None])
+        repl_idx = jnp.argmax(
+            jnp.where(kmask, csim, -jnp.inf), axis=-1).astype(jnp.int32)
+    else:
+        repl_idx = jax.random.randint(repl_key, (N,), 0, K, dtype=jnp.int32)
+    write_k = jnp.where(pos_k < K, pos_k, repl_idx)
 
-    target = jnp.where(valid, slot_g * K + write_k, V1 * K)
+    target = jnp.where(cache_valid, slot_g * K + write_k, V1 * K)
     cache_best = (
         jnp.full((V1 * K + 1,), -1, jnp.int32).at[target].max(order)
     )
-    cache_won = valid & (cache_best[target] == order)
+    cache_won = cache_valid & (cache_best[target] == order)
     wtarget = jnp.where(cache_won, target, V1 * K)
 
     feats_flat = state.feats.reshape(V1 * K, D)
@@ -263,9 +317,6 @@ def ingest_frames(
     )
     feats = feats_flat.reshape(V1, K, D)
 
-    tok_norm = jnp.sqrt(
-        jnp.sum(token.astype(jnp.float32) ** 2, axis=-1)
-    )
     feat_norm = state.feat_norm.reshape(-1).at[wtarget].set(
         tok_norm, mode="drop"
     ).reshape(V1, K)
@@ -273,12 +324,15 @@ def ingest_frames(
         radial_sq, mode="drop"
     ).reshape(V1, K)
 
-    inserted = jnp.zeros((V1,), jnp.int32).at[slot_g].add(
-        valid.astype(jnp.int32)
+    inserted = jnp.zeros((V1,), jnp.int32).at[
+        jnp.where(cache_valid, slot_g, V)].add(
+        cache_valid.astype(jnp.int32)
     )
     feat_count = jnp.minimum(state.feat_count + inserted, K)
 
     new_state = state.replace(
+        feat_sum=feat_sum,
+        feat_obs=feat_obs,
         feats=feats,
         feat_norm=feat_norm,
         feat_dist=feat_dist,

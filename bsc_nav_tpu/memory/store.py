@@ -66,6 +66,11 @@ class VoxelStoreState:
     cv_map: jnp.ndarray       # [G*G + 1, 3] uint8
     max_height: jnp.ndarray   # [G*G + 1] int32 (-1 = unobserved)
 
+    # --- surprise-policy statistics (running token mean per voxel;
+    # size-1 dummies under the dist policy) --------------------------------
+    feat_sum: jnp.ndarray     # [V+1 | 1, D] f32
+    feat_obs: jnp.ndarray     # [V+1 | 1]    f32 (observation count)
+
     # --- frame chain (reference: inv_init_base_tf, memory_2.py:844-847) -
     inv_init_base_tf: jnp.ndarray  # [4, 4] f32
     initialized: jnp.ndarray       # [] bool
@@ -101,6 +106,10 @@ def init_store(cfg: MemoryConfig, store_dtype=jnp.float32) -> VoxelStoreState:
         dropped_voxels=jnp.zeros((), jnp.int32),
         cv_map=jnp.zeros((G * G + 1, 3), jnp.uint8),
         max_height=jnp.full((G * G + 1,), -1, jnp.int32),
+        feat_sum=jnp.zeros(
+            (V1 if cfg.replacement == "surprise" else 1, D), jnp.float32),
+        feat_obs=jnp.zeros(
+            (V1 if cfg.replacement == "surprise" else 1,), jnp.float32),
         inv_init_base_tf=jnp.eye(4, dtype=jnp.float32),
         initialized=jnp.zeros((), jnp.bool_),
     )
