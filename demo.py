@@ -1,0 +1,98 @@
+"""Unified navigation demo (reference demo.py:150 `NavigationDemo`).
+
+One CLI covering the three interactive navigation modes over either
+backend:
+
+  python demo.py --nav-mode category --goal bed
+  python demo.py --nav-mode text --goal "a red bed in the corner"
+  python demo.py --nav-mode image --goal-image path.png
+  python demo.py --nav-mode localize --goal bed     # query-only
+
+Runs fully offline on the fake box world with the mock LLM; pass
+--llm openai + --env habitat for real deployments.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from benchmarks import setup as S
+from bsc_nav_tpu.agents.localize import LocalizeAgent
+from bsc_nav_tpu.agents.robot import ObjectNavRobot
+from bsc_nav_tpu.utils.visualize import render_pointcloud_png, render_topdown_png
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    S.add_common_args(p)
+    p.add_argument("--nav-mode", default="category",
+                   choices=["category", "text", "image", "localize"])
+    p.add_argument("--goal", type=str, default="bed")
+    p.add_argument("--goal-image", type=str, default=None)
+    p.add_argument("--out-dir", type=str, default="./demo_out")
+    args = p.parse_args(argv)
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    cfg, bench, memory, extras = S.build_world(args, task="objnav")
+    obs = bench.reset()
+
+    # build the scene memory
+    from bsc_nav_tpu.env.pathfinding import AgentState, Quat
+    state = bench.sim.agents[0].get_state()
+    bench.nav_env.reset(
+        init_state=AgentState(np.asarray(state.position), Quat()),
+        build_map=True)
+    memory.exploring_create_memory(save=False)
+    bench.nav_env.agent.set_state(state)
+    print(f"memory built: {int(memory.state.num_voxels)} voxels, "
+          f"{len(memory.long_memory_dict)} instances")
+
+    render_topdown_png(memory.state,
+                       os.path.join(args.out_dir, "topdown.png"),
+                       cfg.memory.grid_size)
+
+    if args.nav_mode == "localize":
+        agent = LocalizeAgent(memory, bench, llm_client=extras["llm"],
+                              matcher=extras["matcher"],
+                              save_dir=args.out_dir)
+        centers = agent.LocalizeTextPrompt(args.goal, text_aug=False)
+        print("cluster centers:", centers)
+        best, topk, sims = memory.voxel_localized(args.goal)
+        render_pointcloud_png(
+            memory.state, os.path.join(args.out_dir, "localize.png"),
+            highlight=topk, centers=centers)
+        print(f"results saved under {args.out_dir}")
+        return
+
+    robot = ObjectNavRobot(memory, bench, llm_client=extras["llm"],
+                           matcher=extras["matcher"],
+                           llm_model=args.llm_model)
+    robot.reset(obs, log_dir=args.out_dir)
+
+    if args.nav_mode == "category":
+        robot.move2textprompt(f"a {args.goal}")
+    elif args.nav_mode == "text":
+        robot.move2NaturalLanguageprompt(args.goal)
+    elif args.nav_mode == "image":
+        if args.goal_image:
+            from PIL import Image
+            goal = np.asarray(Image.open(args.goal_image).convert("RGB"))
+        else:
+            goal = extras["imagination"](args.goal)[0]
+        robot.move2imgprompt(goal)
+
+    m = bench.get_metrics()
+    print(f"done: success={m['success']} spl={m['spl']:.3f} "
+          f"distance={m['distance_to_goal']:.2f} "
+          f"steps={len(robot.action_hist)}")
+    from benchmarks.common import save_video
+    save_video(robot.episode_images,
+               os.path.join(args.out_dir, "navigation.mp4"))
+    print(f"outputs saved under {args.out_dir}")
+
+
+if __name__ == "__main__":
+    main()
