@@ -1,0 +1,118 @@
+"""Convert public torch checkpoints into this framework's .npz params.
+
+One-off host-side tool (torch CPU only).  No weights ship with this
+repo; point it at files you have downloaded:
+
+  # DINOv2 ViT-L/14 with registers (torch hub .pth state dict)
+  python tools/convert_weights.py dinov2 \
+      --checkpoint dinov2_vitl14_reg4_pretrain.pth \
+      --arch dinov2_vitl14_reg --out weights/dinov2_vitl14_reg.npz
+
+  # MetaCLIP / open_clip ViT-H-14 (open_clip .pt / .bin state dict)
+  python tools/convert_weights.py clip \
+      --checkpoint metaclip_h14_fullcc2.5b.pt --out weights/metaclip_vith14.npz
+
+  # verify a converted DINOv2 against the torch model (needs torch hub)
+  python tools/convert_weights.py verify-dinov2 \
+      --npz weights/dinov2_vitl14_reg.npz --arch dinov2_vitl14_reg
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _load_torch_state_dict(path: str):
+    import torch
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    # open_clip checkpoints may carry a 'module.' prefix
+    return { (k[7:] if k.startswith("module.") else k): v
+             for k, v in obj.items() }
+
+
+def convert_dinov2_cmd(args):
+    from bsc_nav_tpu.models import vit
+    from bsc_nav_tpu.models.weights import convert_dinov2, save_params_npz
+
+    cfg = vit.CONFIGS[args.arch]
+    sd = _load_torch_state_dict(args.checkpoint)
+    params = convert_dinov2(sd, cfg)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    save_params_npz(params, args.out)
+    print(f"wrote {args.out}")
+
+
+def convert_clip_cmd(args):
+    from bsc_nav_tpu.models import clip as C
+    from bsc_nav_tpu.models.weights import save_params_npz
+
+    cfg = C.CONFIGS[args.arch]
+    sd = _load_torch_state_dict(args.checkpoint)
+    params = C.convert_openclip(sd, cfg)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    save_params_npz(params, args.out)
+    print(f"wrote {args.out}")
+
+
+def verify_dinov2_cmd(args):
+    """Compare JAX vs torch-hub DINOv2 on random images (requires
+    network access for torch.hub unless the hub cache is primed)."""
+    import jax.numpy as jnp
+    import torch
+    from bsc_nav_tpu.models import vit
+    from bsc_nav_tpu.models.weights import load_dinov2_npz
+
+    cfg = vit.CONFIGS[args.arch]
+    params = load_dinov2_npz(args.npz, cfg)
+    tmodel = torch.hub.load("facebookresearch/dinov2", args.arch).eval()
+
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(2, cfg.img_size, cfg.img_size, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_out = tmodel.forward_features(
+            torch.from_numpy(img.transpose(0, 3, 1, 2)))
+    j_out = vit.forward_features(params, jnp.asarray(img), cfg)
+    err = np.abs(np.asarray(j_out["x_norm_patchtokens"])
+                 - t_out["x_norm_patchtokens"].numpy()).max()
+    print(f"max abs err (patch tokens): {err:.2e}")
+    assert err < 5e-3, "conversion mismatch"
+    print("OK")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("dinov2")
+    d.add_argument("--checkpoint", required=True)
+    d.add_argument("--arch", default="dinov2_vitl14_reg")
+    d.add_argument("--out", required=True)
+    d.set_defaults(fn=convert_dinov2_cmd)
+
+    c = sub.add_parser("clip")
+    c.add_argument("--checkpoint", required=True)
+    c.add_argument("--arch", default="metaclip_vith14")
+    c.add_argument("--out", required=True)
+    c.set_defaults(fn=convert_clip_cmd)
+
+    v = sub.add_parser("verify-dinov2")
+    v.add_argument("--npz", required=True)
+    v.add_argument("--arch", default="dinov2_vitl14_reg")
+    v.set_defaults(fn=verify_dinov2_cmd)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
