@@ -67,7 +67,7 @@ def make_sharded_localize(mesh: Mesh, top_k: int = 100):
         _local, mesh=mesh,
         in_specs=(P("mp"), P("mp"), P("mp"), P("mp"), P(), P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)
 
