@@ -105,3 +105,66 @@ def open3d_view(state, highlight: Optional[np.ndarray] = None) -> None:
         hl.paint_uniform_color([1.0, 0.0, 0.0])
         geoms.append(hl)
     o3d.visualization.draw_geometries(geoms)
+
+
+class TrajectoryDrawer:
+    """2D top-down trajectory renderer (reference BSCAgent.py:173-276):
+    an RGB map built from the memory point cloud below the camera height,
+    with the agent pose, FOV wedge and accumulated path drawn per step.
+    Pure numpy; returns uint8 frames suitable for video overlay."""
+
+    PATH_COLOR = np.array([102, 102, 255], np.uint8)
+    AGENT_COLOR = np.array([76, 0, 153], np.uint8)
+    FOV_COLOR = np.array([160, 160, 160], np.uint8)
+
+    def __init__(self, state, cfg, origin, fov_deg: float = 90.0,
+                 radius: int = 30):
+        self.cfg = cfg
+        self.origin = np.asarray(origin)
+        self.fov = np.radians(fov_deg)
+        self.radius = radius
+        gs = cfg.memory.grid_size
+        self.base_map = np.asarray(state.cv_map)[: gs * gs].reshape(
+            gs, gs, 3).copy()
+        self._path: list = []
+
+    def _loc2grid(self, position):
+        m = self.cfg.memory
+        row = int((position[2] - self.origin[2]) / m.cell_size
+                  + m.grid_size // 2)
+        col = int((position[0] - self.origin[0]) / m.cell_size
+                  + m.grid_size // 2)
+        return row, col
+
+    def _draw_disk(self, img, r, c, rad, color):
+        gs = img.shape[0]
+        rr, cc = np.ogrid[:gs, :gs]
+        mask = (rr - r) ** 2 + (cc - c) ** 2 <= rad * rad
+        img[mask] = color
+
+    def _draw_line(self, img, p0, p1, color):
+        n = int(max(abs(p1[0] - p0[0]), abs(p1[1] - p0[1]), 1)) + 1
+        rs = np.linspace(p0[0], p1[0], n).astype(int)
+        cs = np.linspace(p0[1], p1[1], n).astype(int)
+        gs = img.shape[0]
+        ok = (rs >= 0) & (rs < gs) & (cs >= 0) & (cs < gs)
+        img[rs[ok], cs[ok]] = color
+
+    def step(self, position, yaw: float) -> np.ndarray:
+        """Record the agent pose and return the rendered frame."""
+        r, c = self._loc2grid(position)
+        if self._path:
+            self._draw_line(self.base_map, self._path[-1], (r, c),
+                            self.PATH_COLOR)
+        self._path.append((r, c))
+
+        frame = self.base_map.copy()
+        # FOV wedge (agent looks along -z == -row direction at yaw 0)
+        gs = frame.shape[0]
+        angles = np.linspace(yaw - self.fov / 2, yaw + self.fov / 2, 40)
+        for a in angles:
+            pr = r - self.radius * np.cos(a)
+            pc = c - self.radius * np.sin(a)
+            self._draw_line(frame, (r, c), (pr, pc), self.FOV_COLOR)
+        self._draw_disk(frame, r, c, 3, self.AGENT_COLOR)
+        return frame
