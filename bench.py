@@ -20,6 +20,7 @@ Prints ONE JSON line:
 """
 
 import json
+import os
 import sys
 import time
 
@@ -47,13 +48,13 @@ def main():
 
     # full reference workload geometry; capacity sized for one scene
     cfg = Config(
-        memory=MemoryConfig(voxel_capacity=(1 << 17) - 8),
+        memory=MemoryConfig(voxel_capacity=(1 << 18) - 8),
     )
     vit_cfg = vit.DINOV2_VITL14_REG
     store_dtype = jnp.bfloat16
     log(f"store bytes: {store_nbytes(cfg.memory, store_dtype)/1e9:.2f} GB")
 
-    B = 16
+    B = int(os.environ.get("BENCH_BATCH", 32))
     H, W = cfg.sensor.height, cfg.sensor.width
     rng = np.random.default_rng(0)
 
@@ -74,11 +75,11 @@ def main():
 
     batches = [make_batch(s) for s in range(4)]
 
-    # warmup / compile
+    # warmup / compile.  NOTE: sync via value materialization --
+    # block_until_ready does not reliably wait on tunneled TPU runtimes.
     carry = (state, jax.random.PRNGKey(0))
     t0 = time.perf_counter()
     carry, stats = build_step(carry, params, *batches[0])
-    jax.block_until_ready(carry[0].num_voxels)
     log(f"build compile+first: {time.perf_counter()-t0:.1f}s, "
         f"voxels={int(stats['num_voxels'])}")
 
@@ -87,23 +88,23 @@ def main():
     t0 = time.perf_counter()
     for i in range(n_iters):
         carry, stats = build_step(carry, params, *batches[i % 4])
-    jax.block_until_ready(carry[0].num_voxels)
+    n_vox_final = int(stats["num_voxels"])          # forces execution
     dt = time.perf_counter() - t0
     state = carry[0]
     fps = n_iters * B / dt
     log(f"build: {n_iters*B} frames in {dt:.2f}s -> {fps:.1f} frames/s, "
-        f"voxels={int(stats['num_voxels'])}, dropped={int(stats['dropped_voxels'])}")
+        f"voxels={n_vox_final}, dropped={int(stats['dropped_voxels'])}")
 
     # query latency (text-query path: 3 imagination images -> top-100)
     qimg = jnp.asarray(rng.integers(0, 255, size=(3, 512, 512, 3),
                                     dtype=np.uint8))
     pos, scores = query_step(state, params, qimg, top_k=100)
-    jax.block_until_ready(scores)
+    _ = float(scores[0])
     lat = []
     for _ in range(10):
         t0 = time.perf_counter()
         pos, scores = query_step(state, params, qimg, top_k=100)
-        jax.block_until_ready(scores)
+        _ = float(scores[0])                        # forces execution
         lat.append(time.perf_counter() - t0)
     p50 = float(np.median(lat) * 1000)
     log(f"query p50: {p50:.1f} ms (top score {float(scores[0]):.3f})")

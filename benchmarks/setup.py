@@ -20,7 +20,7 @@ from typing import Optional, Tuple
 import numpy as np
 
 from bsc_nav_tpu.config import (
-    AgentConfig, Config, MemoryConfig, QueryConfig)
+    AgentConfig, Config, MemoryConfig, QueryConfig, SensorConfig)
 from bsc_nav_tpu.agents import llm as L
 from bsc_nav_tpu.agents.matchers import CLIPMatcher, ColorViewScorer
 from bsc_nav_tpu.agents.spatial_memory import Perception, VoxelTokenMemory
@@ -62,8 +62,7 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
 
 def fake_config(args) -> Config:
     return Config(
-        sensor=__import__("bsc_nav_tpu.config", fromlist=["SensorConfig"]
-                          ).SensorConfig(width=64, height=64),
+        sensor=SensorConfig(width=64, height=64),
         memory=MemoryConfig(
             grid_size=96, floor_height=-3.2, map_height=3.2, token_dim=32,
             cache_size=4, voxel_capacity=(1 << 13) - 8, depth_sample_rate=4),
