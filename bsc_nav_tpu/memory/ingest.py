@@ -304,25 +304,22 @@ def ingest_frames(
         repl_idx = jax.random.randint(repl_key, (N,), 0, K, dtype=jnp.int32)
     write_k = jnp.where(pos_k < K, pos_k, repl_idx)
 
+    # NOTE: scatters use 2D (slot, k) indices on the original arrays --
+    # a reshape->scatter->reshape chain defeats XLA's in-place aliasing
+    # of the donated store and copies the multi-GB token buffer
+    # (measured 91 ms vs 5.5 ms per batch at 2^18 capacity).
     target = jnp.where(cache_valid, slot_g * K + write_k, V1 * K)
     cache_best = (
         jnp.full((V1 * K + 1,), -1, jnp.int32).at[target].max(order)
     )
     cache_won = cache_valid & (cache_best[target] == order)
-    wtarget = jnp.where(cache_won, target, V1 * K)
+    wslot = jnp.where(cache_won, slot_g, V1)      # V1 = out of bounds -> drop
+    wk = write_k
 
-    feats_flat = state.feats.reshape(V1 * K, D)
-    feats_flat = feats_flat.at[wtarget].set(
-        token.astype(state.feats.dtype), mode="drop"
-    )
-    feats = feats_flat.reshape(V1, K, D)
-
-    feat_norm = state.feat_norm.reshape(-1).at[wtarget].set(
-        tok_norm, mode="drop"
-    ).reshape(V1, K)
-    feat_dist = state.feat_dist.reshape(-1).at[wtarget].set(
-        radial_sq, mode="drop"
-    ).reshape(V1, K)
+    feats = state.feats.at[wslot, wk].set(
+        token.astype(state.feats.dtype), mode="drop")
+    feat_norm = state.feat_norm.at[wslot, wk].set(tok_norm, mode="drop")
+    feat_dist = state.feat_dist.at[wslot, wk].set(radial_sq, mode="drop")
 
     inserted = jnp.zeros((V1,), jnp.int32).at[
         jnp.where(cache_valid, slot_g, V)].add(
