@@ -135,9 +135,9 @@ class HabitatNavEnv:
         return path, goal
 
 
-class HabitatBenchmarkEnv:
-    """Adapter: habitat.Env -> the BenchmarkEnv protocol the drivers and
-    robots consume (reference get_objnav_env/hm3d_data_config,
+class HabitatLabBenchmarkEnv:
+    """Adapter: habitat.Env -> the BenchmarkEnv protocol (for hosts that
+    run the habitat-lab stack, reference get_objnav_env/hm3d_data_config,
     env.py:472-554)."""
 
     def __init__(self, habitat_env):
@@ -162,10 +162,179 @@ class HabitatBenchmarkEnv:
         return self._env.current_episode
 
 
+class _HabitatSimFacade:
+    def __init__(self, nav_env: "HabitatNavEnv"):
+        self._nav = nav_env
+        self.agents = [nav_env.agent]
+        self.pathfinder = nav_env.sims.pathfinder
+
+    def get_sensor_observations(self, agent_id: int = 0):
+        return self._nav.sims.get_sensor_observations(agent_id)
+
+
+class HabitatEpisodeBenchmarkEnv:
+    """Episode benchmark over habitat-sim DIRECTLY -- no habitat-lab.
+
+    The reference vendors a 403-file habitat-lab fork just to iterate
+    episodes and compute success/SPL/distance (SURVEY §1 L6).  Here the
+    episode datasets are parsed natively (env/datasets.py) and the
+    metrics mirror the habitat Measure definitions on habitat-sim's own
+    geodesic queries, so the only native dependency left is the
+    simulator itself.
+    """
+
+    def __init__(self, nav_env: "HabitatNavEnv", episodes: List,
+                 success_distance: float = 1.0):
+        self._nav = nav_env
+        self.episodes = episodes
+        self.success_distance = success_distance
+        self.sim = _HabitatSimFacade(nav_env)
+        self._ep_idx = -1
+        self.episode_over = False
+        self._called_stop = False
+        self._path_length = 0.0
+        self._shortest = float("inf")
+        self._min_dist = float("inf")
+        self._len_at_min = 0.0
+
+    @property
+    def current_episode(self):
+        return self.episodes[self._ep_idx % len(self.episodes)]
+
+    @property
+    def nav_env(self):
+        return self._nav
+
+    def _geodesic(self, a, b) -> float:
+        hs = self._nav._hs
+        path = hs.ShortestPath()
+        path.requested_start = np.asarray(a, np.float32)
+        path.requested_end = np.asarray(b, np.float32)
+        if self._nav.sims.pathfinder.find_path(path):
+            return float(path.geodesic_distance)
+        return float("inf")
+
+    def _distance_to_goal(self) -> float:
+        pos = self._nav.agent.get_state().position
+        ep = self.current_episode
+        return min((self._geodesic(pos, g) for g in ep.goal_positions),
+                   default=float("inf"))
+
+    def reset(self):
+        import math
+        self._ep_idx += 1
+        ep = self.current_episode
+        hs = self._nav._hs
+        state = hs.AgentState()
+        state.position = np.asarray(ep.start_position, np.float32)
+        yaw = ep.start_yaw
+        state.rotation = np.quaternion(math.cos(yaw / 2), 0.0,
+                                       math.sin(yaw / 2), 0.0) \
+            if hasattr(np, "quaternion") else state.rotation
+        self._nav.agent.set_state(state)
+        self.episode_over = False
+        self._called_stop = False
+        self._path_length = 0.0
+        self._min_dist = float("inf")
+        self._len_at_min = 0.0
+        self._shortest = min(
+            (self._geodesic(ep.start_position, g)
+             for g in ep.goal_positions), default=float("inf"))
+        return self._nav.sims.get_sensor_observations(0)
+
+    def step(self, action: str):
+        prev = np.asarray(self._nav.agent.get_state().position)
+        if action == "stop":
+            obs = self._nav.sims.get_sensor_observations(0)
+            self.episode_over = True
+            self._called_stop = True
+            return obs
+        obs = self._nav.sims.step(action)
+        cur = np.asarray(self._nav.agent.get_state().position)
+        moved = float(np.linalg.norm(cur - prev))
+        self._path_length += moved
+        if moved > 0:
+            d = self._distance_to_goal()
+            if d < self._min_dist:
+                self._min_dist = d
+                self._len_at_min = self._path_length
+        return obs
+
+    def get_metrics(self) -> Dict:
+        d = self._distance_to_goal()
+        success = float(self._called_stop and d <= self.success_distance)
+        spl = 0.0
+        if success and np.isfinite(self._shortest):
+            spl = self._shortest / max(self._shortest, self._path_length,
+                                       1e-6)
+        o_success = float(min(self._min_dist, d) <= self.success_distance)
+        ospl = 0.0
+        if o_success and np.isfinite(self._shortest):
+            ospl = self._shortest / max(self._shortest, self._len_at_min,
+                                        1e-6)
+        return {"success": success, "spl": spl, "oracle_spl": ospl,
+                "distance_to_goal": d, "path_length": self._path_length}
+
+
 def build_habitat_world(args, task: str):
-    """Driver-facing factory (benchmarks/setup.py habitat path)."""
-    raise NotImplementedError(
-        "habitat backend wiring requires habitat-lab configs + scene data "
-        "on the host; see HabitatNavEnv/HabitatBenchmarkEnv for the "
-        "adapters and benchmarks/setup.py for the fake-world reference "
-        "wiring")
+    """Driver-facing factory (benchmarks/setup.py habitat path):
+    scene from the first episode, native dataset parsing, real
+    perception (converted weights under --weights-dir)."""
+    import jax
+    import jax.numpy as jnp
+    from bsc_nav_tpu.env import datasets as DS
+    from bsc_nav_tpu.agents.spatial_memory import Perception, VoxelTokenMemory
+    from bsc_nav_tpu.agents.matchers import CLIPMatcher
+    from bsc_nav_tpu.agents import llm as L
+    from bsc_nav_tpu.models import clip as C
+    from bsc_nav_tpu.models import tokenizer as T
+    from bsc_nav_tpu.models.detector import ClipPatchDetector
+    from bsc_nav_tpu.models.weights import unflatten_params
+    from bsc_nav_tpu.config import HM3D_DETECT_CLASSES
+    import os
+
+    _require_habitat()
+    from benchmarks.setup import habitat_config, make_llm
+
+    cfg = habitat_config(args)
+    if task in ("vlnce",):
+        episodes = DS.load_r2r_episodes(args.episode_prefix,
+                                        limit=args.episodes)
+    else:
+        episodes = DS.load_objectnav_episodes(args.episode_prefix,
+                                              limit=args.episodes)
+    if not episodes:
+        raise ValueError(f"no episodes parsed from {args.episode_prefix}")
+
+    scene_path = os.path.join(args.scene_prefix, episodes[0].scene_id)
+    nav = HabitatNavEnv(cfg, scene_path,
+                        scene_dataset_config=episodes[0].scene_dataset_config)
+    bench = HabitatEpisodeBenchmarkEnv(
+        nav, episodes,
+        success_distance=args.success_distance or cfg.sim.success_distance)
+
+    perception = Perception.create(cfg, batch_size=args.batch_size,
+                                   compute_dtype=jnp.bfloat16)
+
+    matcher = None
+    detector = None
+    imagination = None
+    wd = args.weights_dir
+    clip_npz = wd and os.path.join(wd, cfg.models.clip + ".npz")
+    if clip_npz and os.path.exists(clip_npz):
+        ccfg = C.CONFIGS[cfg.models.clip]
+        z = np.load(clip_npz)
+        cparams = unflatten_params(
+            {k: jnp.asarray(v) for k, v in z.items()})
+        tok = T.default_tokenizer(
+            os.path.join(wd, "bpe_simple_vocab_16e6.txt.gz"))
+        matcher = CLIPMatcher(cparams, ccfg, tok)
+        detector = ClipPatchDetector(cparams, ccfg, tok,
+                                     classes=HM3D_DETECT_CLASSES,
+                                     confidence=cfg.detector.confidence)
+
+    memory = VoxelTokenMemory(cfg, env=nav, perception=perception,
+                              detector=detector, imagination=imagination)
+    extras = {"llm": make_llm(args), "matcher": matcher,
+              "imagination": imagination}
+    return cfg, bench, memory, extras
