@@ -316,8 +316,21 @@ def ingest_frames(
     wslot = jnp.where(cache_won, slot_g, V1)      # V1 = out of bounds -> drop
     wk = write_k
 
-    feats = state.feats.at[wslot, wk].set(
-        token.astype(state.feats.dtype), mode="drop")
+    feat_scale = state.feat_scale
+    if state.feats.dtype == jnp.int8:
+        # per-token absmax quantization; the scale cancels in cosine
+        # similarity so feat_norm stores the INT8 row norm directly
+        absmax = jnp.max(jnp.abs(token.astype(jnp.float32)), axis=-1)
+        scale = jnp.maximum(absmax, 1e-12) / 127.0
+        q = jnp.clip(jnp.round(token.astype(jnp.float32)
+                               / scale[:, None]), -127, 127)
+        stored = q.astype(jnp.int8)
+        tok_norm = jnp.sqrt(jnp.sum(q * q, axis=-1))
+        feat_scale = feat_scale.at[wslot, wk].set(scale, mode="drop")
+    else:
+        stored = token.astype(state.feats.dtype)
+
+    feats = state.feats.at[wslot, wk].set(stored, mode="drop")
     feat_norm = state.feat_norm.at[wslot, wk].set(tok_norm, mode="drop")
     feat_dist = state.feat_dist.at[wslot, wk].set(radial_sq, mode="drop")
 
@@ -328,6 +341,7 @@ def ingest_frames(
     feat_count = jnp.minimum(state.feat_count + inserted, K)
 
     new_state = state.replace(
+        feat_scale=feat_scale,
         feat_sum=feat_sum,
         feat_obs=feat_obs,
         feats=feats,

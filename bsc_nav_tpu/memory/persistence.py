@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from bsc_nav_tpu.config import MemoryConfig
 from bsc_nav_tpu.memory.store import (
     VoxelStoreState,
+    dequantized_feats,
     fused_rgb,
     init_store,
     linear_voxel_id,
@@ -51,7 +52,7 @@ def save_reference_format(
     n = int(state.num_voxels)
     pos = np.asarray(state.slot_pos)[:n]
     counts = np.asarray(state.feat_count)[:n]
-    feats = np.asarray(state.feats, dtype=np.float32)[:n]
+    feats = np.asarray(dequantized_feats(state), dtype=np.float32)[:n]
     dists = np.asarray(state.feat_dist)[:n]
 
     with h5py.File(os.path.join(path, "feat.h5df"), "w") as h5f:
@@ -142,10 +143,20 @@ def load_reference_format(path: str, cfg: MemoryConfig,
     slot_pos = np.zeros((V1, 3), np.int32)
     slot_pos[:n] = pos
 
-    norms = np.linalg.norm(feats, axis=-1)
+    if jnp.dtype(store_dtype) == jnp.int8:
+        absmax = np.maximum(np.abs(feats).max(axis=-1), 1e-12)
+        scale = absmax / 127.0
+        q = np.clip(np.round(feats / scale[..., None]), -127, 127)
+        feats_store = q.astype(np.int8)
+        norms = np.linalg.norm(q, axis=-1)
+        feat_scale = jnp.asarray(scale, jnp.float32)
+        state = state.replace(feat_scale=feat_scale)
+    else:
+        feats_store = feats
+        norms = np.linalg.norm(feats, axis=-1)
 
     state = state.replace(
-        feats=jnp.asarray(feats, store_dtype),
+        feats=jnp.asarray(feats_store, store_dtype),
         feat_norm=jnp.asarray(norms),
         feat_dist=jnp.asarray(dists),
         feat_count=jnp.asarray(counts),
@@ -179,6 +190,8 @@ def save_npz(state: VoxelStoreState, path: str, **extra) -> None:
         num_voxels=n,
         feats=np.asarray(state.feats)[:n],
         feat_norm=np.asarray(state.feat_norm)[:n],
+        feat_scale=np.asarray(state.feat_scale)[
+            :n if state.feat_scale.shape[0] > 1 else 1],
         feat_dist=np.asarray(state.feat_dist)[:n],
         feat_count=np.asarray(state.feat_count)[:n],
         rgb_sum=np.asarray(state.rgb_sum)[:n],
@@ -210,6 +223,9 @@ def load_npz(path: str, cfg: MemoryConfig, store_dtype=jnp.float32):
     lin = (pos[:, 0].astype(np.int64) * G + pos[:, 1]) * H + pos[:, 2]
     slot_map[lin] = np.arange(n, dtype=np.int32)
 
+    scale_arr = z["feat_scale"] if "feat_scale" in z else None
+    if scale_arr is not None and scale_arr.shape[0] > 1:
+        state = state.replace(feat_scale=fill("feat_scale", scale_arr))
     state = state.replace(
         feats=fill("feats", z["feats"]).astype(store_dtype),
         feat_norm=fill("feat_norm", z["feat_norm"]),

@@ -72,13 +72,17 @@ def localize(
     qn = query.astype(jnp.float32)
     qn = qn / jnp.maximum(jnp.linalg.norm(qn), 1e-12)
 
-    # [V1, K] dot products; f32 accumulation on the MXU
-    sims = jnp.einsum(
-        "vkd,d->vk",
-        state.feats,
-        qn.astype(state.feats.dtype),
-        preferred_element_type=jnp.float32,
-    )
+    # [V1, K] dot products; f32 accumulation on the MXU.  int8 stores
+    # read half the bytes of bf16; the per-token dequant scale cancels
+    # against feat_norm (which holds the int8 row norm).
+    feats = state.feats
+    if feats.dtype == jnp.int8:
+        sims = jnp.einsum("vkd,d->vk", feats.astype(jnp.bfloat16),
+                          qn.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+    else:
+        sims = jnp.einsum("vkd,d->vk", feats, qn.astype(feats.dtype),
+                          preferred_element_type=jnp.float32)
     sims = sims / jnp.maximum(state.feat_norm, 1e-12)
 
     kmask = jnp.arange(K)[None, :] < state.feat_count[:, None]

@@ -47,8 +47,14 @@ class VoxelStoreState:
     """
 
     # --- token cache (reference: HDF5 groups, memory_2.py:330-354) ------
+    # feats dtype options: f32 / bf16, or int8 with per-token absmax
+    # scales in feat_scale (the reference quantizes its biggest model to
+    # NF4 to fit VRAM, memory_2.py:542-560; here the HBM-bound object is
+    # the token store, and the per-token scale cancels in cosine
+    # similarity so query quality costs only the rounding error)
     feats: jnp.ndarray        # [V+1, K, D] store dtype
-    feat_norm: jnp.ndarray    # [V+1, K] f32   (cached ||token|| for cosine)
+    feat_norm: jnp.ndarray    # [V+1, K] f32   (||stored token|| for cosine)
+    feat_scale: jnp.ndarray   # [V+1 | 1, K] f32 (int8 dequant scales)
     feat_dist: jnp.ndarray    # [V+1, K] f32   (squared radial distance)
     feat_count: jnp.ndarray   # [V+1]    int32 (tokens held, <= K)
 
@@ -93,9 +99,11 @@ def init_store(cfg: MemoryConfig, store_dtype=jnp.float32) -> VoxelStoreState:
     K, D = cfg.cache_size, cfg.token_dim
     G, H = cfg.grid_size, cfg.num_height_cells
     V1 = padded_rows(cfg)
+    is_int8 = jnp.dtype(store_dtype) == jnp.int8
     return VoxelStoreState(
         feats=jnp.zeros((V1, K, D), store_dtype),
         feat_norm=jnp.zeros((V1, K), jnp.float32),
+        feat_scale=jnp.zeros((V1 if is_int8 else 1, K), jnp.float32),
         feat_dist=jnp.zeros((V1, K), jnp.float32),
         feat_count=jnp.zeros((V1,), jnp.int32),
         rgb_sum=jnp.zeros((V1, 3), jnp.float32),
@@ -134,6 +142,15 @@ def occupied_positions(state: VoxelStoreState) -> Tuple[jnp.ndarray, jnp.ndarray
     V1 = state.slot_pos.shape[0]
     valid = jnp.arange(V1) < state.num_voxels
     return state.slot_pos, valid
+
+
+def dequantized_feats(state: VoxelStoreState) -> jnp.ndarray:
+    """Token cache as f32 (identity for float stores, scale-applied for
+    int8 stores) -- export/reload path."""
+    if state.feats.dtype == jnp.int8:
+        return (state.feats.astype(jnp.float32)
+                * state.feat_scale[..., None])
+    return state.feats.astype(jnp.float32)
 
 
 def fused_rgb(state: VoxelStoreState) -> jnp.ndarray:

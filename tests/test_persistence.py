@@ -93,3 +93,47 @@ def test_npz_snapshot_roundtrip(tmp_path):
         state2, jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(poses),
         jnp.asarray(tokens), jax.random.PRNGKey(9), cfg)
     assert int(s3.num_voxels) >= int(state2.num_voxels)
+
+
+def test_int8_store_roundtrip_and_query(tmp_path):
+    """int8-quantized token store: query agrees with the f32 store to
+    quantization error; export dequantizes into the f32 h5 contract."""
+    import jax.numpy as jnp
+    cfg = small_test_config()
+    rgb, depth, poses, tokens = make_frames(cfg, 2, seed=11)
+
+    from bsc_nav_tpu.memory.store import dequantized_feats
+    s_f32 = init_store(cfg.memory, store_dtype=jnp.float32)
+    s_f32, _ = ing.ingest_frames(
+        s_f32, jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(poses),
+        jnp.asarray(tokens), jax.random.PRNGKey(3), cfg)
+    s_i8 = init_store(cfg.memory, store_dtype=jnp.int8)
+    s_i8, _ = ing.ingest_frames(
+        s_i8, jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(poses),
+        jnp.asarray(tokens), jax.random.PRNGKey(3), cfg)
+
+    n = int(s_f32.num_voxels)
+    assert int(s_i8.num_voxels) == n
+    # dequantized tokens within per-token absmax/127 rounding error
+    f = np.asarray(s_f32.feats)[:n]
+    d = np.asarray(dequantized_feats(s_i8))[:n]
+    err = np.abs(f - d).max()
+    assert err <= (np.abs(f).max() / 127.0) * 0.51 + 1e-6
+
+    # query scores track the f32 store closely
+    q = np.random.default_rng(2).normal(size=cfg.memory.token_dim
+                                        ).astype(np.float32)
+    p1, sc1 = Q.localize(s_f32, jnp.asarray(q), top_k=16)
+    p2, sc2 = Q.localize(s_i8, jnp.asarray(q), top_k=16)
+    np.testing.assert_allclose(np.asarray(sc1), np.asarray(sc2),
+                               rtol=0.1, atol=0.02)
+
+    # export produces the standard f32 h5 contract
+    path = str(tmp_path / "mem_i8")
+    P.save_reference_format(s_i8, path, cfg.memory,
+                            original_pos=[0, 0, 0])
+    s_back, meta = P.load_reference_format(path, cfg.memory,
+                                           store_dtype=jnp.int8)
+    p3, sc3 = Q.localize(s_back, jnp.asarray(q), top_k=16)
+    np.testing.assert_allclose(np.asarray(sc2), np.asarray(sc3),
+                               rtol=0.02, atol=0.01)
