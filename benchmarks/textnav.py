@@ -24,6 +24,19 @@ def main(argv=None):
     csv_path = args.csv or "textnav_results.csv"
 
     cfg, bench, memory, extras = S.build_world(args, task="textnav")
+    if args.attributes_json:
+        # per-episode intrinsic/extrinsic attribute texts keyed by
+        # episode index or object category (textnav_benchmark.py:125-127)
+        import json
+        with open(args.attributes_json) as f:
+            attrs = json.load(f)
+        for i, ep in enumerate(bench.episodes):
+            a = attrs.get(str(i)) or attrs.get(ep.object_category)
+            if a:
+                ep.intrinsic_attributes = a.get("intrinsic_attributes",
+                                                a.get("intrinsic"))
+                ep.extrinsic_attributes = a.get("extrinsic_attributes",
+                                                a.get("extrinsic"))
     robot = ObjectNavRobot(memory, bench, llm_client=extras["llm"],
                            matcher=extras["matcher"],
                            llm_model=args.llm_model)

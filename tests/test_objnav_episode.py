@@ -189,3 +189,33 @@ def test_save_log_written(world, tmp_path):
     assert {"state_hist", "agent_response_log", "loc_hist",
             "nav_log"} <= set(log)
     assert len(log["state_hist"]) == len(robot.state_hist)
+
+
+def test_single_floor_filter_path(world, tmp_path):
+    """load_single_floor: save, reload with floor detection on, and
+    check the floor mask restricts long-memory retrieval and queries
+    (memory_2.py:203-256, :693-705)."""
+    cfg, scene, bench, memory = world
+    # fabricate base heights on one floor
+    memory.base_height = [0.05] * 12
+    path = str(tmp_path / "floor_mem")
+    memory.save(path)
+
+    cfg2 = cfg.replace(agent=cfg.agent.__class__(
+        load_single_floor=True, random_move_num=3, max_path_len=500))
+    from bsc_nav_tpu.agents.spatial_memory import VoxelTokenMemory
+    mem2 = VoxelTokenMemory(cfg2, env=bench.nav_env,
+                            perception=memory.perception,
+                            imagination=memory.imagination,
+                            memory_path=path)
+    mem2.load_memory()
+    assert mem2.floor_min_height is not None
+    assert mem2.floor_min_height <= mem2.floor_max_height
+    filtered = mem2.long_memory_filter()
+    for o in filtered:
+        assert mem2.floor_min_height <= o["loc"][2] <= mem2.floor_max_height
+    # floor-masked query still returns candidates on this floor
+    best, topk, sims = mem2.voxel_localized("a bed")
+    if len(topk):
+        assert ((topk[:, 2] >= mem2.floor_min_height)
+                & (topk[:, 2] <= mem2.floor_max_height)).all()
