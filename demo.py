@@ -29,7 +29,8 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     S.add_common_args(p)
     p.add_argument("--nav-mode", default="category",
-                   choices=["category", "text", "image", "localize"])
+                   choices=["category", "text", "image", "localize",
+                            "interactive"])
     p.add_argument("--goal", type=str, default="bed")
     p.add_argument("--goal-image", type=str, default=None)
     p.add_argument("--out-dir", type=str, default="./demo_out")
@@ -53,6 +54,48 @@ def main(argv=None):
     render_topdown_png(memory.state,
                        os.path.join(args.out_dir, "topdown.png"),
                        cfg.memory.grid_size)
+
+    if args.nav_mode == "interactive":
+        # terminal port of the reference's keyboard robot (agent.py:27,
+        # :341): w/a/s/d + u/j to look, 'nav <prompt>' for two-stage
+        # retrieval navigation, 'save' to dump the current view, 'q' quit
+        robot = ObjectNavRobot(memory, bench, llm_client=extras["llm"],
+                               matcher=extras["matcher"],
+                               llm_model=args.llm_model)
+        robot.reset(obs, log_dir=args.out_dir)
+        keymap = {"w": "move_forward", "a": "turn_left", "d": "turn_right",
+                  "s": "move_backward", "u": "look_up", "j": "look_down"}
+        print("interactive mode: w/a/s/d/u/j move, 'nav <prompt>' to "
+              "navigate, 'save' to dump view, 'q' to quit")
+        step_i = 0
+        while True:
+            try:
+                cmd = input("> ").strip()
+            except EOFError:
+                break
+            if cmd == "q":
+                break
+            if cmd == "save":
+                from PIL import Image
+                cur = bench.sim.get_sensor_observations(0)
+                out = os.path.join(args.out_dir, f"view_{step_i}.png")
+                Image.fromarray(
+                    np.asarray(cur["rgb"])[:, :, :3]).save(out)
+                print(f"saved {out}")
+                continue
+            if cmd.startswith("nav "):
+                robot.move2textprompt(cmd[4:])
+                print("nav done:", bench.get_metrics())
+                continue
+            if cmd in keymap:
+                robot.execute_path([keymap[cmd]])
+                step_i += 1
+                st = bench.sim.agents[0].get_state()
+                print(f"pos={np.round(st.position, 2)} "
+                      f"yaw={st.rotation.yaw():.2f}")
+                continue
+            print("unknown command")
+        return
 
     if args.nav_mode == "localize":
         agent = LocalizeAgent(memory, bench, llm_client=extras["llm"],
