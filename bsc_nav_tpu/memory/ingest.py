@@ -76,7 +76,7 @@ def ingest_frames(
     mem = cfg.memory
     Gs, Hc = mem.grid_size, mem.num_height_cells
     V, K, D = mem.voxel_capacity, mem.cache_size, mem.token_dim
-    V1 = state.feats.shape[0]            # padded rows; garbage slot = V
+    V1 = state.feat_count.shape[0]       # padded slot rows; garbage slot = V
     nh, nw = patch_tokens.shape[1], patch_tokens.shape[2]
     P = points_per_frame(cfg)
     N = B * P
@@ -291,12 +291,13 @@ def ingest_frames(
     pos_k = state.feat_count[slot_g] + rank_by_point
     if mem.replacement == "surprise":
         # replace the cached token MOST similar to the incoming one
-        # (memory_2.py:459-465)
-        cached = state.feats[slot_g].astype(jnp.float32)     # [N, K, D]
+        # (memory_2.py:459-465); cache rows live at slot*K + k
+        rows = slot_g[:, None] * K + jnp.arange(K)[None, :]  # [N, K]
+        cached = state.feats[rows].astype(jnp.float32)       # [N, K, D]
         csim = jnp.einsum("nkd,nd->nk", cached,
                           token.astype(jnp.float32), precision=_HI)
         csim = csim / jnp.maximum(
-            state.feat_norm[slot_g] * tok_norm[:, None], 1e-12)
+            state.feat_norm[rows] * tok_norm[:, None], 1e-12)
         kmask = (jnp.arange(K)[None, :] < state.feat_count[slot_g][:, None])
         repl_idx = jnp.argmax(
             jnp.where(kmask, csim, -jnp.inf), axis=-1).astype(jnp.int32)
@@ -313,8 +314,8 @@ def ingest_frames(
         jnp.full((V1 * K + 1,), -1, jnp.int32).at[target].max(order)
     )
     cache_won = cache_valid & (cache_best[target] == order)
-    wslot = jnp.where(cache_won, slot_g, V1)      # V1 = out of bounds -> drop
-    wk = write_k
+    # flat cache row; V1*K = out of bounds -> dropped by scatter mode
+    wrow = jnp.where(cache_won, slot_g * K + write_k, V1 * K)
 
     feat_scale = state.feat_scale
     if state.feats.dtype == jnp.int8:
@@ -326,13 +327,13 @@ def ingest_frames(
                                / scale[:, None]), -127, 127)
         stored = q.astype(jnp.int8)
         tok_norm = jnp.sqrt(jnp.sum(q * q, axis=-1))
-        feat_scale = feat_scale.at[wslot, wk].set(scale, mode="drop")
+        feat_scale = feat_scale.at[wrow].set(scale, mode="drop")
     else:
         stored = token.astype(state.feats.dtype)
 
-    feats = state.feats.at[wslot, wk].set(stored, mode="drop")
-    feat_norm = state.feat_norm.at[wslot, wk].set(tok_norm, mode="drop")
-    feat_dist = state.feat_dist.at[wslot, wk].set(radial_sq, mode="drop")
+    feats = state.feats.at[wrow].set(stored, mode="drop")
+    feat_norm = state.feat_norm.at[wrow].set(tok_norm, mode="drop")
+    feat_dist = state.feat_dist.at[wrow].set(radial_sq, mode="drop")
 
     inserted = jnp.zeros((V1,), jnp.int32).at[
         jnp.where(cache_valid, slot_g, V)].add(

@@ -50,10 +50,12 @@ def save_reference_format(
 ) -> None:
     os.makedirs(path, exist_ok=True)
     n = int(state.num_voxels)
+    V1 = state.feat_count.shape[0]
+    K = state.feats.shape[0] // V1
     pos = np.asarray(state.slot_pos)[:n]
     counts = np.asarray(state.feat_count)[:n]
     feats = np.asarray(dequantized_feats(state), dtype=np.float32)[:n]
-    dists = np.asarray(state.feat_dist)[:n]
+    dists = np.asarray(state.feat_dist).reshape(V1, K)[:n]
 
     with h5py.File(os.path.join(path, "feat.h5df"), "w") as h5f:
         for i in range(n):
@@ -106,7 +108,9 @@ def load_reference_format(path: str, cfg: MemoryConfig,
             f"({cfg.zmin},{cfg.zmax})")
 
     state = init_store(cfg, store_dtype=store_dtype)
-    V1, K, D = state.feats.shape
+    V1 = state.feat_count.shape[0]
+    K = state.feats.shape[0] // V1
+    D = state.feats.shape[1]
     G, H = cfg.grid_size, cfg.num_height_cells
 
     feats = np.zeros((V1, K, D), np.float32)
@@ -149,16 +153,16 @@ def load_reference_format(path: str, cfg: MemoryConfig,
         q = np.clip(np.round(feats / scale[..., None]), -127, 127)
         feats_store = q.astype(np.int8)
         norms = np.linalg.norm(q, axis=-1)
-        feat_scale = jnp.asarray(scale, jnp.float32)
-        state = state.replace(feat_scale=feat_scale)
+        state = state.replace(
+            feat_scale=jnp.asarray(scale.reshape(V1 * K), jnp.float32))
     else:
         feats_store = feats
         norms = np.linalg.norm(feats, axis=-1)
 
     state = state.replace(
-        feats=jnp.asarray(feats_store, store_dtype),
-        feat_norm=jnp.asarray(norms),
-        feat_dist=jnp.asarray(dists),
+        feats=jnp.asarray(feats_store.reshape(V1 * K, D), store_dtype),
+        feat_norm=jnp.asarray(norms.reshape(V1 * K)),
+        feat_dist=jnp.asarray(dists.reshape(V1 * K)),
         feat_count=jnp.asarray(counts),
         rgb_sum=jnp.asarray(rgb_sum),
         weight=jnp.asarray(w),
@@ -185,14 +189,16 @@ def save_npz(state: VoxelStoreState, path: str, **extra) -> None:
     """Single-file dense snapshot (much faster than the per-group HDF5
     contract; intra-framework checkpoint format)."""
     n = int(state.num_voxels)
+    V1 = state.feat_count.shape[0]
+    K = state.feats.shape[0] // V1
     np.savez_compressed(
         path,
         num_voxels=n,
-        feats=np.asarray(state.feats)[:n],
-        feat_norm=np.asarray(state.feat_norm)[:n],
+        feats=np.asarray(state.feats)[:n * K],
+        feat_norm=np.asarray(state.feat_norm)[:n * K],
         feat_scale=np.asarray(state.feat_scale)[
-            :n if state.feat_scale.shape[0] > 1 else 1],
-        feat_dist=np.asarray(state.feat_dist)[:n],
+            :n * K if state.feat_scale.shape[0] > 1 else 1],
+        feat_dist=np.asarray(state.feat_dist)[:n * K],
         feat_count=np.asarray(state.feat_count)[:n],
         rgb_sum=np.asarray(state.rgb_sum)[:n],
         weight=np.asarray(state.weight)[:n],
@@ -209,13 +215,14 @@ def load_npz(path: str, cfg: MemoryConfig, store_dtype=jnp.float32):
     z = np.load(path, allow_pickle=False)
     n = int(z["num_voxels"])
     state = init_store(cfg, store_dtype=store_dtype)
-    V1, K, D = state.feats.shape
+    V1 = state.feat_count.shape[0]
+    K = state.feats.shape[0] // V1
     G, H = cfg.grid_size, cfg.num_height_cells
 
     def fill(name, arr):
         buf = np.asarray(arr)
         out = np.asarray(getattr(state, name)).copy()
-        out[:n] = buf
+        out[:len(buf)] = buf
         return jnp.asarray(out)
 
     pos = np.asarray(z["slot_pos"])

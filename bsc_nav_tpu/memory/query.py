@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from bsc_nav_tpu.memory.store import VoxelStoreState
+from bsc_nav_tpu.ops.similarity import max_cosine
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -67,27 +68,16 @@ def localize(
     Returns (positions [top_k, 3] int32, scores [top_k] f32).  Scores of
     padding entries (fewer occupied voxels than top_k) are -inf.
     """
-    V1, K, D = state.feats.shape
+    V1 = state.feat_count.shape[0]
 
     qn = query.astype(jnp.float32)
     qn = qn / jnp.maximum(jnp.linalg.norm(qn), 1e-12)
 
-    # [V1, K] dot products; f32 accumulation on the MXU.  int8 stores
-    # read half the bytes of bf16; the per-token dequant scale cancels
-    # against feat_norm (which holds the int8 row norm).
-    feats = state.feats
-    if feats.dtype == jnp.int8:
-        sims = jnp.einsum("vkd,d->vk", feats.astype(jnp.bfloat16),
-                          qn.astype(jnp.bfloat16),
-                          preferred_element_type=jnp.float32)
-    else:
-        sims = jnp.einsum("vkd,d->vk", feats, qn.astype(feats.dtype),
-                          preferred_element_type=jnp.float32)
-    sims = sims / jnp.maximum(state.feat_norm, 1e-12)
-
-    kmask = jnp.arange(K)[None, :] < state.feat_count[:, None]
-    sims = jnp.where(kmask, sims, -jnp.inf)
-    per_voxel = jnp.max(sims, axis=1)                    # [V1]
+    # fused one-pass scan: dot + norm-divide + count-mask + per-voxel
+    # max without materializing [V1, K] (Pallas on TPU, jnp elsewhere;
+    # int8 stores read half the bytes, scale cancels via int8-row norms)
+    per_voxel = max_cosine(state.feats, state.feat_norm,
+                           state.feat_count, qn)         # [V1]
 
     occupied = jnp.arange(V1) < state.num_voxels
     mask = occupied

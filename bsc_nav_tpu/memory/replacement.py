@@ -69,8 +69,13 @@ def _consolidate_one(feats, norms, dists, count, K, threshold):
 def forgetting_pass(state: VoxelStoreState,
                     threshold: float = 0.95) -> VoxelStoreState:
     """Merge near-duplicate cached tokens in every voxel."""
-    V1, K, D = state.feats.shape
+    V1 = state.feat_count.shape[0]
+    K = state.feats.shape[0] // V1
+    D = state.feats.shape[1]
     f, n, d, c = jax.vmap(
         lambda fe, no, di, co: _consolidate_one(fe, no, di, co, K, threshold)
-    )(state.feats, state.feat_norm, state.feat_dist, state.feat_count)
-    return state.replace(feats=f, feat_norm=n, feat_dist=d, feat_count=c)
+    )(state.feats.reshape(V1, K, D), state.feat_norm.reshape(V1, K),
+      state.feat_dist.reshape(V1, K), state.feat_count)
+    return state.replace(feats=f.reshape(V1 * K, D),
+                         feat_norm=n.reshape(V1 * K),
+                         feat_dist=d.reshape(V1 * K), feat_count=c)

@@ -47,15 +47,19 @@ class VoxelStoreState:
     """
 
     # --- token cache (reference: HDF5 groups, memory_2.py:330-354) ------
+    # FLAT layout [V1*K, D]: a [V, K=10, D] rank-3 array would be
+    # physically padded by the TPU tiler to [V, 16, D] (+60% HBM and
+    # query bandwidth); the flat layout pads only to the row tile.
+    # Token index (slot, k) lives at row slot*K + k.
     # feats dtype options: f32 / bf16, or int8 with per-token absmax
     # scales in feat_scale (the reference quantizes its biggest model to
     # NF4 to fit VRAM, memory_2.py:542-560; here the HBM-bound object is
     # the token store, and the per-token scale cancels in cosine
     # similarity so query quality costs only the rounding error)
-    feats: jnp.ndarray        # [V+1, K, D] store dtype
-    feat_norm: jnp.ndarray    # [V+1, K] f32   (||stored token|| for cosine)
-    feat_scale: jnp.ndarray   # [V+1 | 1, K] f32 (int8 dequant scales)
-    feat_dist: jnp.ndarray    # [V+1, K] f32   (squared radial distance)
+    feats: jnp.ndarray        # [V1*K, D] store dtype
+    feat_norm: jnp.ndarray    # [V1*K] f32   (||stored token|| for cosine)
+    feat_scale: jnp.ndarray   # [V1*K | 1] f32 (int8 dequant scales)
+    feat_dist: jnp.ndarray    # [V1*K] f32   (squared radial distance)
     feat_count: jnp.ndarray   # [V+1]    int32 (tokens held, <= K)
 
     # --- per-voxel RGB fusion (reference: grid_rgb/weight, :888-899) ----
@@ -101,10 +105,10 @@ def init_store(cfg: MemoryConfig, store_dtype=jnp.float32) -> VoxelStoreState:
     V1 = padded_rows(cfg)
     is_int8 = jnp.dtype(store_dtype) == jnp.int8
     return VoxelStoreState(
-        feats=jnp.zeros((V1, K, D), store_dtype),
-        feat_norm=jnp.zeros((V1, K), jnp.float32),
-        feat_scale=jnp.zeros((V1 if is_int8 else 1, K), jnp.float32),
-        feat_dist=jnp.zeros((V1, K), jnp.float32),
+        feats=jnp.zeros((V1 * K, D), store_dtype),
+        feat_norm=jnp.zeros((V1 * K,), jnp.float32),
+        feat_scale=jnp.zeros((V1 * K if is_int8 else 1,), jnp.float32),
+        feat_dist=jnp.zeros((V1 * K,), jnp.float32),
         feat_count=jnp.zeros((V1,), jnp.int32),
         rgb_sum=jnp.zeros((V1, 3), jnp.float32),
         weight=jnp.zeros((V1,), jnp.float32),
@@ -129,7 +133,7 @@ def store_nbytes(cfg: MemoryConfig, store_dtype=jnp.float32) -> int:
     G, H = cfg.grid_size, cfg.num_height_cells
     itemsize = jnp.dtype(store_dtype).itemsize
     return (
-        V * K * D * itemsize        # feats
+        V * K * D * itemsize        # feats (flat layout, no K padding)
         + V * K * 8                 # feat_norm + feat_dist
         + V * (4 + 12 + 4 + 12)     # count, rgb_sum, weight, slot_pos
         + (G * G * H + 1) * 4       # slot_map
@@ -144,13 +148,28 @@ def occupied_positions(state: VoxelStoreState) -> Tuple[jnp.ndarray, jnp.ndarray
     return state.slot_pos, valid
 
 
+def token_cache_view(state: VoxelStoreState):
+    """(feats [V1, K, D], norms [V1, K], dists [V1, K]) reshaped views of
+    the flat store (host-side/occasional use; reshape is a relayout)."""
+    K = state.feat_count.shape[0]
+    V1 = state.feat_count.shape[0]
+    KK = state.feats.shape[0] // V1
+    D = state.feats.shape[1]
+    return (state.feats.reshape(V1, KK, D),
+            state.feat_norm.reshape(V1, KK),
+            state.feat_dist.reshape(V1, KK))
+
+
 def dequantized_feats(state: VoxelStoreState) -> jnp.ndarray:
-    """Token cache as f32 (identity for float stores, scale-applied for
-    int8 stores) -- export/reload path."""
+    """Token cache as f32 [V1, K, D] (identity for float stores,
+    scale-applied for int8 stores) -- export/reload path."""
+    V1 = state.feat_count.shape[0]
+    K = state.feats.shape[0] // V1
+    D = state.feats.shape[1]
+    f = state.feats.astype(jnp.float32)
     if state.feats.dtype == jnp.int8:
-        return (state.feats.astype(jnp.float32)
-                * state.feat_scale[..., None])
-    return state.feats.astype(jnp.float32)
+        f = f * state.feat_scale[:, None]
+    return f.reshape(V1, K, D)
 
 
 def fused_rgb(state: VoxelStoreState) -> jnp.ndarray:

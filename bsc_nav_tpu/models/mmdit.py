@@ -268,3 +268,97 @@ def sample(params, key, context, pooled, cfg: MMDiTConfig,
         return x + (sigmas[i + 1] - sigmas[i]) * v
 
     return jax.lax.fori_loop(0, num_steps, step, x)
+
+
+# --------------------------------------------------------------------------
+# diffusers SD3Transformer2DModel checkpoint conversion (EXPERIMENTAL
+# until validated against real SD3.5 weights)
+# --------------------------------------------------------------------------
+
+def convert_sd3(state_dict, cfg: MMDiTConfig, dtype=jnp.float32):
+    """diffusers SD3Transformer2DModel state dict -> mmdit params.
+
+    Key layout (diffusers): pos_embed.{proj,pos_embed},
+    time_text_embed.{timestep_embedder,text_embedder}.linear_{1,2},
+    context_embedder, transformer_blocks.{i}.{norm1.linear,
+    norm1_context.linear, attn.{to_q,to_k,to_v,to_out.0, add_q_proj,
+    add_k_proj, add_v_proj, to_add_out, norm_q, norm_k, norm_added_q,
+    norm_added_k}, ff.net.{0.proj,2}, ff_context.net.{0.proj,2}},
+    norm_out.linear, proj_out.
+    """
+    import numpy as np
+
+    def _t(x):
+        return x.detach().cpu().numpy() if hasattr(x, "detach") \
+            else np.asarray(x)
+
+    sd = {k: _t(v) for k, v in state_dict.items()}
+
+    def lin(prefix):
+        return {"w": jnp.asarray(sd[f"{prefix}.weight"].T, dtype),
+                "b": jnp.asarray(sd[f"{prefix}.bias"], dtype)}
+
+    def qkv_packed(q, k, v):
+        w = np.concatenate([sd[f"{q}.weight"], sd[f"{k}.weight"],
+                            sd[f"{v}.weight"]], axis=0)
+        b = np.concatenate([sd[f"{q}.bias"], sd[f"{k}.bias"],
+                            sd[f"{v}.bias"]], axis=0)
+        return {"w": jnp.asarray(w.T, dtype), "b": jnp.asarray(b, dtype)}
+
+    blocks = []
+    i = 0
+    while f"transformer_blocks.{i}.attn.to_q.weight" in sd:
+        b = f"transformer_blocks.{i}"
+        x_stream = {
+            "qkv": qkv_packed(f"{b}.attn.to_q", f"{b}.attn.to_k",
+                              f"{b}.attn.to_v"),
+            "proj": lin(f"{b}.attn.to_out.0"),
+            "mod": lin(f"{b}.norm1.linear"),
+            "fc1": lin(f"{b}.ff.net.0.proj"),
+            "fc2": lin(f"{b}.ff.net.2"),
+        }
+        ctx_stream = {
+            "qkv": qkv_packed(f"{b}.attn.add_q_proj", f"{b}.attn.add_k_proj",
+                              f"{b}.attn.add_v_proj"),
+            "proj": (lin(f"{b}.attn.to_add_out")
+                     if f"{b}.attn.to_add_out.weight" in sd
+                     else {"w": jnp.zeros((cfg.dim, cfg.dim), dtype),
+                           "b": jnp.zeros((cfg.dim,), dtype)}),
+            "mod": lin(f"{b}.norm1_context.linear"),
+            "fc1": (lin(f"{b}.ff_context.net.0.proj")
+                    if f"{b}.ff_context.net.0.proj.weight" in sd
+                    else {"w": jnp.zeros((cfg.dim, 4 * cfg.dim), dtype),
+                          "b": jnp.zeros((4 * cfg.dim,), dtype)}),
+            "fc2": (lin(f"{b}.ff_context.net.2")
+                    if f"{b}.ff_context.net.2.weight" in sd
+                    else {"w": jnp.zeros((4 * cfg.dim, cfg.dim), dtype),
+                          "b": jnp.zeros((cfg.dim,), dtype)}),
+        }
+        if cfg.qk_norm:
+            x_stream["q_norm"] = jnp.asarray(
+                sd[f"{b}.attn.norm_q.weight"], dtype)
+            x_stream["k_norm"] = jnp.asarray(
+                sd[f"{b}.attn.norm_k.weight"], dtype)
+            ctx_stream["q_norm"] = jnp.asarray(
+                sd[f"{b}.attn.norm_added_q.weight"], dtype)
+            ctx_stream["k_norm"] = jnp.asarray(
+                sd[f"{b}.attn.norm_added_k.weight"], dtype)
+        blocks.append({"x": x_stream, "ctx": ctx_stream})
+        i += 1
+
+    p = cfg.patch_size
+    conv = sd["pos_embed.proj.weight"]          # [dim, C, p, p]
+    patch_w = conv.transpose(2, 3, 1, 0).reshape(-1, cfg.dim)
+    return {
+        "patch_embed": {"w": jnp.asarray(patch_w, dtype),
+                        "b": jnp.asarray(sd["pos_embed.proj.bias"], dtype)},
+        "pos_embed": jnp.asarray(sd["pos_embed.pos_embed"], dtype),
+        "t_embed1": lin("time_text_embed.timestep_embedder.linear_1"),
+        "t_embed2": lin("time_text_embed.timestep_embedder.linear_2"),
+        "pooled_embed1": lin("time_text_embed.text_embedder.linear_1"),
+        "pooled_embed2": lin("time_text_embed.text_embedder.linear_2"),
+        "ctx_embed": lin("context_embedder"),
+        "final_mod": lin("norm_out.linear"),
+        "final_out": lin("proj_out"),
+        "blocks": blocks,
+    }

@@ -80,6 +80,9 @@ def store_sharding(mesh: Mesh) -> Dict[str, P]:
         "feats": P("mp"),
         "feat_norm": P("mp"),
         "feat_dist": P("mp"),
+        "feat_scale": P("mp"),
+        "feat_sum": P("mp"),
+        "feat_obs": P("mp"),
         "feat_count": P("mp"),
         "rgb_sum": P("mp"),
         "weight": P("mp"),

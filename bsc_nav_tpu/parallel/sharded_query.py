@@ -37,16 +37,17 @@ def make_sharded_localize(mesh: Mesh, top_k: int = 100):
     mp = mesh.shape["mp"]
 
     def _local(feats, norm, count, pos, num_voxels, query):
-        # shapes here are the PER-SHARD slabs
-        Vl, K, D = feats.shape
+        # shapes here are the PER-SHARD slabs (flat [Vl*K, D] tokens)
+        Vl = count.shape[0]
+        K = feats.shape[0] // Vl
         shard = jax.lax.axis_index("mp")
         base = shard * Vl                          # global slot offset
 
         qn = query.astype(jnp.float32)
         qn = qn / jnp.maximum(jnp.linalg.norm(qn), 1e-12)
-        sims = jnp.einsum("vkd,d->vk", feats, qn.astype(feats.dtype),
+        dots = jnp.einsum("rd,d->r", feats, qn.astype(feats.dtype),
                           preferred_element_type=jnp.float32)
-        sims = sims / jnp.maximum(norm, 1e-12)
+        sims = (dots / jnp.maximum(norm, 1e-12)).reshape(Vl, K)
         kmask = jnp.arange(K)[None, :] < count[:, None]
         per_voxel = jnp.max(jnp.where(kmask, sims, -jnp.inf), axis=1)
 

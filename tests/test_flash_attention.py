@@ -54,3 +54,24 @@ def test_flash_bf16():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(exp, np.float32),
         rtol=3e-2, atol=3e-2)
+
+
+def test_similarity_kernel_matches_reference():
+    """Fused row-cosine kernel (interpret mode) vs the jnp composition
+    over the flat [V*K, D] store layout."""
+    from bsc_nav_tpu.ops.similarity import (
+        max_cosine_per_voxel, reference_max_cosine)
+    rng = np.random.default_rng(0)
+    V1, K, D = 2048, 4, 128          # V1*K = 8192, kernel-aligned
+    feats = rng.normal(size=(V1 * K, D)).astype(np.float32)
+    norms = np.linalg.norm(feats, axis=-1)
+    counts = rng.integers(0, K + 1, V1).astype(np.int32)
+    q = rng.normal(size=D).astype(np.float32)
+    fj, nj, cj, qj = map(jnp.asarray, (feats, norms, counts, q))
+
+    ref = reference_max_cosine(fj, nj, cj, qj)
+    out = max_cosine_per_voxel(fj, nj, cj, qj, interpret=True)
+    r, o = np.asarray(ref), np.asarray(out)
+    live = counts > 0
+    np.testing.assert_allclose(o[live], r[live], rtol=1e-3, atol=1e-4)
+    assert (o[~live] == -np.inf).all()

@@ -16,7 +16,8 @@ import pytest
 
 from bsc_nav_tpu.config import small_test_config
 from bsc_nav_tpu import geometry as G
-from bsc_nav_tpu.memory.store import init_store, linear_voxel_id
+from bsc_nav_tpu.memory.store import (
+    dequantized_feats, init_store, linear_voxel_id)
 from bsc_nav_tpu.memory import ingest as ing
 
 
@@ -194,8 +195,9 @@ def test_token_cache_matches_oracle(ingested):
     n = int(state.num_voxels)
     np.testing.assert_array_equal(
         np.asarray(state.feat_count)[:n], np.asarray(oracle.count))
-    feats = np.asarray(state.feats)[:n]
-    dist = np.asarray(state.feat_dist)[:n]
+    K = cfg.memory.cache_size
+    feats = np.asarray(dequantized_feats(state))[:n]
+    dist = np.asarray(state.feat_dist).reshape(-1, K)[:n]
     for s in range(n):
         k = oracle.count[s]
         np.testing.assert_allclose(feats[s][:k], oracle.feats[s][:k],
@@ -236,7 +238,7 @@ def test_cache_replacement_after_saturation():
     n = int(state2.num_voxels)
     assert n == len(oracle.slot_pos)
     assert max(oracle.count) == cfg.memory.cache_size  # saturation reached
-    feats = np.asarray(state2.feats)[:n]
+    feats = np.asarray(dequantized_feats(state2))[:n]
     for s in range(n):
         np.testing.assert_allclose(
             feats[s][:oracle.count[s]], oracle.feats[s][:oracle.count[s]],

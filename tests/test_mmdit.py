@@ -116,3 +116,65 @@ def test_imagination_pipeline_end_to_end():
     out = imag("a red chair")
     assert out.shape == (2, CFG.input_size * 2, CFG.input_size * 2, 3)
     assert out.dtype == np.uint8
+
+
+def test_sd3_converter_mapping():
+    """convert_sd3 over a synthetic diffusers-layout state dict: full
+    key coverage, correct shapes, runnable forward."""
+    rng = np.random.default_rng(0)
+    cfg = CFG
+    d, p, cin = cfg.dim, cfg.patch_size, cfg.in_channels
+
+    def lin(fi, fo):
+        return {"weight": rng.normal(size=(fo, fi)).astype(np.float32),
+                "bias": rng.normal(size=fo).astype(np.float32)}
+
+    sd = {}
+    def put(prefix, m):
+        sd[f"{prefix}.weight"] = m["weight"]
+        sd[f"{prefix}.bias"] = m["bias"]
+
+    sd["pos_embed.proj.weight"] = rng.normal(
+        size=(d, cin, p, p)).astype(np.float32)
+    sd["pos_embed.proj.bias"] = rng.normal(size=d).astype(np.float32)
+    sd["pos_embed.pos_embed"] = rng.normal(
+        size=(1, cfg.num_patches, d)).astype(np.float32)
+    put("time_text_embed.timestep_embedder.linear_1", lin(256, d))
+    put("time_text_embed.timestep_embedder.linear_2", lin(d, d))
+    put("time_text_embed.text_embedder.linear_1", lin(cfg.pooled_dim, d))
+    put("time_text_embed.text_embedder.linear_2", lin(d, d))
+    put("context_embedder", lin(cfg.context_dim, d))
+    put("norm_out.linear", lin(d, 2 * d))
+    put("proj_out", lin(d, p * p * cin))
+    for i in range(cfg.depth):
+        b = f"transformer_blocks.{i}"
+        for nm, fi, fo in [("attn.to_q", d, d), ("attn.to_k", d, d),
+                           ("attn.to_v", d, d), ("attn.to_out.0", d, d),
+                           ("attn.add_q_proj", d, d),
+                           ("attn.add_k_proj", d, d),
+                           ("attn.add_v_proj", d, d),
+                           ("attn.to_add_out", d, d),
+                           ("norm1.linear", d, 6 * d),
+                           ("norm1_context.linear", d, 6 * d),
+                           ("ff.net.0.proj", d, 4 * d),
+                           ("ff.net.2", 4 * d, d),
+                           ("ff_context.net.0.proj", d, 4 * d),
+                           ("ff_context.net.2", 4 * d, d)]:
+            put(f"{b}.{nm}", lin(fi, fo))
+        hd = cfg.head_dim
+        for nm in ["attn.norm_q", "attn.norm_k", "attn.norm_added_q",
+                   "attn.norm_added_k"]:
+            sd[f"{b}.{nm}.weight"] = rng.normal(size=hd).astype(np.float32)
+
+    params = M.convert_sd3(sd, cfg)
+    assert len(params["blocks"]) == cfg.depth
+    # packed qkv: row order q|k|v transposed
+    np.testing.assert_allclose(
+        np.asarray(params["blocks"][0]["x"]["qkv"]["w"])[:, :cfg.dim],
+        sd["transformer_blocks.0.attn.to_q.weight"].T, rtol=1e-6)
+    lat = jnp.zeros((1, cfg.input_size, cfg.input_size, cin))
+    ctx = jnp.zeros((1, 4, cfg.context_dim))
+    pooled = jnp.zeros((1, cfg.pooled_dim))
+    v = M.forward(params, lat, jnp.array([0.5]), ctx, pooled, cfg)
+    assert v.shape == lat.shape
+    assert np.isfinite(np.asarray(v)).all()

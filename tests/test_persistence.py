@@ -115,7 +115,7 @@ def test_int8_store_roundtrip_and_query(tmp_path):
     n = int(s_f32.num_voxels)
     assert int(s_i8.num_voxels) == n
     # dequantized tokens within per-token absmax/127 rounding error
-    f = np.asarray(s_f32.feats)[:n]
+    f = np.asarray(dequantized_feats(s_f32))[:n]
     d = np.asarray(dequantized_feats(s_i8))[:n]
     err = np.abs(f - d).max()
     assert err <= (np.abs(f).max() / 127.0) * 0.51 + 1e-6

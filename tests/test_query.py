@@ -14,7 +14,9 @@ def build_store(cfg, n_vox=50, seed=0):
     rng = np.random.default_rng(seed)
     m = cfg.memory
     state = init_store(m)
-    V1, K, D = state.feats.shape
+    V1 = state.feat_count.shape[0]
+    K = state.feats.shape[0] // V1
+    D = state.feats.shape[1]
     counts = rng.integers(1, K + 1, size=n_vox)
     feats = np.zeros((V1, K, D), np.float32)
     norms = np.zeros((V1, K), np.float32)
@@ -27,7 +29,8 @@ def build_store(cfg, n_vox=50, seed=0):
     cnt = np.zeros(V1, np.int32)
     cnt[:n_vox] = counts
     state = state.replace(
-        feats=jnp.asarray(feats), feat_norm=jnp.asarray(norms),
+        feats=jnp.asarray(feats.reshape(V1 * K, D)),
+        feat_norm=jnp.asarray(norms.reshape(V1 * K)),
         feat_count=jnp.asarray(cnt), slot_pos=jnp.asarray(pos),
         num_voxels=jnp.asarray(n_vox, jnp.int32))
     return state, feats, norms, cnt, pos

@@ -8,7 +8,7 @@ import pytest
 from bsc_nav_tpu.config import small_test_config
 from bsc_nav_tpu.memory import ingest as ing
 from bsc_nav_tpu.memory.replacement import forgetting_pass
-from bsc_nav_tpu.memory.store import init_store
+from bsc_nav_tpu.memory.store import dequantized_feats, init_store
 
 from test_ingest import make_frames
 
@@ -98,8 +98,9 @@ def test_surprise_policy_accepts_novel_tokens():
     # replacement (at capacity)
     below = c1[:n] < K
     grew = (c2[:n][below] > c1[:n][below]).mean() if below.any() else 0.0
-    changed = (np.abs(np.asarray(state2.feats)[:n]
-                      - np.asarray(state.feats)[:n]).max(axis=(1, 2)) > 1e-6)
+    changed = (np.abs(np.asarray(dequantized_feats(state2))[:n]
+                      - np.asarray(dequantized_feats(state))[:n]
+                      ).max(axis=(1, 2)) > 1e-6)
     accepted = max(grew, changed.mean())
     assert accepted > 0.3, f"only {accepted:.2f} accepted novel tokens"
 
@@ -147,21 +148,25 @@ def test_forgetting_pass_matches_oracle():
     base = rng.normal(size=(2, D)).astype(np.float32)
     v0 = np.stack([base[0], base[0] * 1.001, base[1], base[1] * 0.999])
     v1 = rng.normal(size=(K, D)).astype(np.float32)
-    feats = np.zeros_like(np.asarray(state.feats))
+    V1 = state.feat_count.shape[0]
+    feats = np.zeros((V1, K, D), np.float32)
     feats[0, :4], feats[1, :K] = v0, v1
     counts = np.zeros_like(np.asarray(state.feat_count))
     counts[0], counts[1] = 4, K
-    dists = np.zeros_like(np.asarray(state.feat_dist))
+    dists = np.zeros((V1, K), np.float32)
     dists[0, :4] = [1., 2., 3., 4.]
     dists[1, :K] = np.arange(K)
     norms = np.linalg.norm(feats, axis=-1)
     state = state.replace(
-        feats=jnp.asarray(feats), feat_norm=jnp.asarray(norms),
-        feat_dist=jnp.asarray(dists), feat_count=jnp.asarray(counts),
+        feats=jnp.asarray(feats.reshape(V1 * K, D)),
+        feat_norm=jnp.asarray(norms.reshape(V1 * K)),
+        feat_dist=jnp.asarray(dists.reshape(V1 * K)),
+        feat_count=jnp.asarray(counts),
         num_voxels=jnp.asarray(2, jnp.int32))
 
     out = forgetting_pass(state, threshold=0.95)
-    of, od = np.asarray(out.feats), np.asarray(out.feat_dist)
+    of = np.asarray(out.feats).reshape(V1, K, D)
+    od = np.asarray(out.feat_dist).reshape(V1, K)
     oc = np.asarray(out.feat_count)
 
     ef, ed = oracle_forgetting(feats[0], dists[0], 4, 0.95)

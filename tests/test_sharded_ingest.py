@@ -9,7 +9,7 @@ import jax.numpy as jnp
 
 from bsc_nav_tpu.config import small_test_config
 from bsc_nav_tpu.memory.ingest import ingest_frames
-from bsc_nav_tpu.memory.store import init_store
+from bsc_nav_tpu.memory.store import dequantized_feats, init_store
 from bsc_nav_tpu.parallel import mesh as M
 
 from test_ingest import make_frames
@@ -45,8 +45,9 @@ def test_dp_sharded_ingest_matches_single_device():
                                   np.asarray(s_ref.slot_pos)[:n])
     np.testing.assert_array_equal(np.asarray(s_sh.feat_count)[:n],
                                   np.asarray(s_ref.feat_count)[:n])
-    np.testing.assert_allclose(np.asarray(s_sh.feats)[:n],
-                               np.asarray(s_ref.feats)[:n], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(dequantized_feats(s_sh))[:n],
+                               np.asarray(dequantized_feats(s_ref))[:n],
+                               rtol=1e-6)
     np.testing.assert_allclose(np.asarray(s_sh.weight)[:n],
                                np.asarray(s_ref.weight)[:n], rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(s_sh.max_height),
@@ -89,6 +90,6 @@ def test_dp_mp_sharded_build_step_matches():
     # feats pass through the TP-sharded encoder: bitwise equality is not
     # guaranteed across different matmul partitionings; require tight
     # numerical agreement instead
-    np.testing.assert_allclose(np.asarray(s_sh.feats)[:n],
-                               np.asarray(s_ref.feats)[:n],
+    np.testing.assert_allclose(np.asarray(dequantized_feats(s_sh))[:n],
+                               np.asarray(dequantized_feats(s_ref))[:n],
                                rtol=2e-4, atol=2e-4)

@@ -64,6 +64,50 @@ def convert_clip_cmd(args):
     print(f"wrote {args.out}")
 
 
+def _load_maybe_safetensors(path: str):
+    if path.endswith(".safetensors"):
+        try:
+            from safetensors.numpy import load_file
+            return load_file(path)
+        except ImportError as e:
+            raise ImportError("safetensors not installed; convert the "
+                              "checkpoint to a torch .bin first") from e
+    return _load_torch_state_dict(path)
+
+
+def convert_sd3_cmd(args):
+    from bsc_nav_tpu.models import mmdit as M
+    from bsc_nav_tpu.models.weights import save_params_npz
+
+    sd = _load_maybe_safetensors(args.checkpoint)
+    params = M.convert_sd3(sd, M.SD35_MEDIUM)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    save_params_npz(params, args.out)
+    print(f"wrote {args.out}")
+
+
+def convert_t5_cmd(args):
+    from bsc_nav_tpu.models import t5 as T5
+    from bsc_nav_tpu.models.weights import save_params_npz
+
+    sd = _load_maybe_safetensors(args.checkpoint)
+    params = T5.convert_t5(sd, T5.T5_XXL)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    save_params_npz(params, args.out)
+    print(f"wrote {args.out}")
+
+
+def convert_yolo_cmd(args):
+    from bsc_nav_tpu.models import yolo_world as Y
+    from bsc_nav_tpu.models.weights import save_params_npz
+
+    sd = _load_torch_state_dict(args.checkpoint)
+    params = Y.convert_ultralytics(sd, Y.YOLOV8X_WORLDV2)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    save_params_npz(params, args.out)
+    print(f"wrote {args.out}")
+
+
 def verify_dinov2_cmd(args):
     """Compare JAX vs torch-hub DINOv2 on random images (requires
     network access for torch.hub unless the hub cache is primed)."""
@@ -104,6 +148,23 @@ def main(argv=None):
     c.add_argument("--arch", default="metaclip_vith14")
     c.add_argument("--out", required=True)
     c.set_defaults(fn=convert_clip_cmd)
+
+    s3 = sub.add_parser("sd3")
+    s3.add_argument("--checkpoint", required=True,
+                    help="diffusers SD3Transformer2DModel .bin/.safetensors")
+    s3.add_argument("--out", required=True)
+    s3.set_defaults(fn=convert_sd3_cmd)
+
+    t5p = sub.add_parser("t5")
+    t5p.add_argument("--checkpoint", required=True)
+    t5p.add_argument("--out", required=True)
+    t5p.set_defaults(fn=convert_t5_cmd)
+
+    yw = sub.add_parser("yolo-world")
+    yw.add_argument("--checkpoint", required=True,
+                    help="ultralytics yolov8x-worldv2.pt")
+    yw.add_argument("--out", required=True)
+    yw.set_defaults(fn=convert_yolo_cmd)
 
     v = sub.add_parser("verify-dinov2")
     v.add_argument("--npz", required=True)
