@@ -107,7 +107,18 @@ def main():
         _ = float(scores[0])                        # forces execution
         lat.append(time.perf_counter() - t0)
     p50 = float(np.median(lat) * 1000)
-    log(f"query p50: {p50:.1f} ms (top score {float(scores[0]):.3f})")
+    # the tunneled-TPU host<->device round trip dominates small-latency
+    # measurements; report it so the device-side latency is legible
+    triv = jax.jit(lambda x: x + 1)
+    _ = float(triv(jnp.zeros(8))[0])
+    rtt = []
+    for _i in range(10):
+        t0 = time.perf_counter()
+        _ = float(triv(jnp.zeros(8))[0])
+        rtt.append(time.perf_counter() - t0)
+    rtt_ms = float(np.median(rtt) * 1000)
+    log(f"query p50: {p50:.1f} ms (top score {float(scores[0]):.3f}); "
+        f"sync round-trip overhead ~{rtt_ms:.1f} ms")
 
     print(json.dumps({
         "metric": "memory_build_frames_per_sec",
@@ -115,6 +126,7 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(fps / REFERENCE_A100_FPS_ESTIMATE, 2),
         "query_localize_p50_ms": round(p50, 2),
+        "sync_rtt_ms": round(rtt_ms, 2),
         "backend": backend,
         "batch": B,
         "baseline_note": "A100 reference estimated at 10 fps (unrecorded in repo; see BASELINE.md)",
