@@ -79,3 +79,27 @@ def test_create_memory_driver(tmp_path):
     path = next(iter(built))
     assert os.path.exists(os.path.join(path, "feat.h5df"))
     assert os.path.exists(os.path.join(path, "long_memory.json"))
+
+
+def test_episode_farming(tmp_path):
+    from benchmarks import farm
+    from benchmarks.common import write_metrics
+
+    # strided sharding covers all episodes exactly once
+    all_idx = []
+    for w in range(3):
+        all_idx += farm.shard_episodes(10, num_workers=3, worker_id=w)
+    assert sorted(all_idx) == list(range(10))
+
+    # csv shard merge
+    for w in range(2):
+        for i in farm.shard_episodes(4, num_workers=2, worker_id=w):
+            write_metrics({"success": 1.0, "episode": i},
+                          str(tmp_path / f"r.worker{w}.csv"))
+    n = farm.merge_csvs(
+        [str(tmp_path / f"r.worker{w}.csv") for w in range(2)],
+        str(tmp_path / "merged.csv"))
+    assert n == 4
+    import csv
+    rows = list(csv.DictReader(open(tmp_path / "merged.csv")))
+    assert sorted(int(r["episode"]) for r in rows) == [0, 1, 2, 3]
