@@ -88,12 +88,16 @@ def run_episodes(
         if ensure_memory is not None:
             ensure_memory(robot, bench)
         robot.reset(obs, log_dir=log_dir)
+        robot.record_topdowns = record_video
         episode_fn(robot, bench.current_episode)
         metrics = metrics_fn(robot, bench, bench.current_episode)
         write_metrics(metrics, csv_path)
         if record_video and robot.episode_images:
             save_video(robot.episode_images,
                        os.path.join(log_dir, "fps.mp4"))
+            if getattr(robot, "episode_topdowns", None):
+                save_video(robot.episode_topdowns,
+                           os.path.join(log_dir, "metric.mp4"))
         records.append(EpisodeRecord(metrics, i))
     return records
 

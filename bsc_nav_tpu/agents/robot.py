@@ -56,6 +56,8 @@ class ObjectNavRobot:
         self.loc_hist = {"long_memory": [], "working_memory": []}
         self.obss: List[np.ndarray] = []
         self.episode_images: List[np.ndarray] = []
+        self.episode_topdowns: List[np.ndarray] = []
+        self.record_topdowns = False
         self.log_dir = "./tmp/trajectory_0"
         self.curr_obs = None
         self.task_over = False
@@ -64,6 +66,7 @@ class ObjectNavRobot:
     def reset(self, obs=None, log_dir: Optional[str] = None):
         self.curr_obs = obs
         self.episode_images = [obs["rgb"]] if obs is not None else []
+        self.episode_topdowns = []
         self.nav_log = {"long_memory_query": 0, "working_memory_query": 0,
                         "search_point": 0, "success": 0}
         self.state_hist, self.action_hist = [], []
@@ -215,6 +218,10 @@ class ObjectNavRobot:
                 self.benchmark_env.sim.agents[0].get_state())
             self.curr_obs = self.benchmark_env.step(action)
             self.episode_images.append(np.asarray(self.curr_obs["rgb"]))
+            if self.record_topdowns:
+                m = self.benchmark_env.get_metrics()
+                if "top_down_map" in m:
+                    self.episode_topdowns.append(m["top_down_map"])
             if save_img_list:
                 self.obss.append(np.asarray(self.curr_obs["rgb"])[:, :, :3])
         agent_state = self.benchmark_env.sim.agents[0].get_state()

@@ -73,9 +73,9 @@ class MemoryConfig:
     cache_size: int = 10                    # memory_2.py:111
     flush_size: int = 50_000                # memory_2.py:109 (iter_size)
     depth_sample_rate: int = 1000           # args.py:67
-    # TPU-side capacity bounds (dynamic occupancy -> static shapes).
-    voxel_capacity: int = 1 << 17           # max distinct feature voxels
-    point_capacity: int = 1 << 20           # max distinct rgb point ids (gs*gs in ref)
+    # TPU-side capacity bound (dynamic occupancy -> static shapes);
+    # one capacity serves tokens + RGB fusion (unified slot store)
+    voxel_capacity: int = 1 << 17           # max distinct occupied voxels
     # Gaussian observation weighting (memory_2.py:873-875)
     alpha_sigma_sq: float = 0.6
     # token replacement policy: "dist" = append + random replacement
@@ -222,7 +222,6 @@ def small_test_config() -> Config:
             cache_size=4,
             flush_size=512,
             voxel_capacity=1 << 10,
-            point_capacity=1 << 12,
             depth_sample_rate=8,
         ),
         query=QueryConfig(top_k=16, query_width=28, query_height=28),

@@ -78,6 +78,7 @@ class FakeBenchmarkEnv:
         self._called_stop = False
         self._min_dist = float("inf")
         self._len_at_min = 0.0
+        self.top_down_map = TopDownMapMeasure(self._env)
 
     # --- episode control ---------------------------------------------------
     @property
@@ -104,11 +105,14 @@ class FakeBenchmarkEnv:
             (self._env.pathfinder.geodesic_distance(
                 ep.start_position, g) for g in ep.goal_positions),
             default=float("inf"))
+        self.top_down_map.reset()
+        self.top_down_map.update()
         return self._env.sims.get_sensor_observations(0)
 
     def step(self, action: str):
         prev = self._env.position.copy()
         obs = self._env.step(action)
+        self.top_down_map.update()
         moved = float(np.linalg.norm(self._env.position - prev))
         self._path_length += moved
         if moved > 0:
@@ -147,6 +151,8 @@ class FakeBenchmarkEnv:
             "oracle_spl": ospl,
             "distance_to_goal": d,
             "path_length": self._path_length,
+            "top_down_map": self.top_down_map.render(
+                self.current_episode.goal_positions),
         }
 
 
@@ -166,3 +172,65 @@ def episodes_for_scene(scene: BoxScene, n_per_object: int = 1,
                 goal_positions=[np.asarray(box.center, float)],
             ))
     return eps
+
+
+class TopDownMapMeasure:
+    """Fog-of-war top-down map over the navgrid (the habitat
+    TopDownMap / TopDownMapVLNCE measure role, reference env.py:514-532,
+    vlnce_maps.py:381): navigable area in light gray, revealed area in
+    white, agent trail in blue, agent + goals marked.  Produces uint8
+    frames for the drivers' topdown videos."""
+
+    NAV = np.array([140, 140, 140], np.uint8)
+    SEEN = np.array([245, 245, 245], np.uint8)
+    TRAIL = np.array([60, 60, 220], np.uint8)
+    AGENT = np.array([200, 40, 40], np.uint8)
+    GOAL = np.array([40, 180, 40], np.uint8)
+
+    def __init__(self, env: FakeNavEnv, visibility_dist: float = 5.0,
+                 fov_deg: float = 90.0):
+        self.env = env
+        pf = env.pathfinder
+        self.pf = pf
+        self.vis_cells = int(visibility_dist / pf.res)
+        self.fov = np.radians(fov_deg)
+        self.seen = np.zeros(pf.nav.shape, bool)
+        self.trail: List = []
+
+    def reset(self):
+        self.seen[:] = False
+        self.trail = []
+
+    def update(self):
+        pf = self.pf
+        i, j = pf.world_to_cell(self.env.position)
+        self.trail.append((i, j))
+        yaw = self.env.yaw
+        # reveal a FOV wedge (fog of war)
+        n = self.vis_cells
+        ii, jj = np.mgrid[-n:n + 1, -n:n + 1]
+        dist = np.hypot(ii, jj)
+        # world heading: forward is (-sin yaw, -cos yaw) in (x, z) = (i, j)
+        ang = np.arctan2(ii, jj)          # cell offset direction
+        fwd = np.arctan2(-np.sin(yaw), -np.cos(yaw))
+        diff = (ang - fwd + np.pi) % (2 * np.pi) - np.pi
+        wedge = (dist <= n) & (np.abs(diff) <= self.fov / 2)
+        ci, cj = np.nonzero(wedge)
+        gi = np.clip(ci - n + i, 0, pf.nav.shape[0] - 1)
+        gj = np.clip(cj - n + j, 0, pf.nav.shape[1] - 1)
+        self.seen[gi, gj] = True
+
+    def render(self, goals=()) -> np.ndarray:
+        pf = self.pf
+        img = np.zeros((*pf.nav.shape, 3), np.uint8)
+        img[pf.nav] = self.NAV
+        img[pf.nav & self.seen] = self.SEEN
+        for (i, j) in self.trail:
+            if 0 <= i < img.shape[0] and 0 <= j < img.shape[1]:
+                img[i, j] = self.TRAIL
+        for g in goals:
+            gi, gj = pf.world_to_cell(g)
+            img[max(gi - 1, 0):gi + 2, max(gj - 1, 0):gj + 2] = self.GOAL
+        i, j = pf.world_to_cell(self.env.position)
+        img[max(i - 1, 0):i + 2, max(j - 1, 0):j + 2] = self.AGENT
+        return img

@@ -142,3 +142,20 @@ def test_wall_depth_exact():
     h, w = obs["depth"].shape
     center = obs["depth"][h // 2, w // 2]
     np.testing.assert_allclose(center, 6.0, atol=0.05)
+
+
+def test_topdown_map_measure():
+    from bsc_nav_tpu.env.benchmark import (
+        FakeBenchmarkEnv, episodes_for_scene)
+    cfg = small_test_config()
+    scene = BoxScene.default()
+    bench = FakeBenchmarkEnv(cfg, episodes_for_scene(scene), scene=scene)
+    bench.reset()
+    for a in ["move_forward", "turn_left", "move_forward"]:
+        bench.step(a)
+    m = bench.get_metrics()
+    img = m["top_down_map"]
+    assert img.ndim == 3 and img.dtype == np.uint8
+    # fog of war revealed something, trail + agent drawn
+    assert (img == 245).any()          # seen cells
+    assert (img[:, :, 2] == 220).any() # trail blue
