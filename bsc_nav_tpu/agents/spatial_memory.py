@@ -127,7 +127,10 @@ class VoxelTokenMemory:
         depth = np.asarray(obs["depth"], np.float32)
         cam_tf = self._host_cam_to_world(pose)
         self._queue.append((rgb, depth, pose.astype(np.float32)))
-        if self.detector is not None:
+        if self.detector is not None and not hasattr(self.detector,
+                                                     "detect_batch"):
+            # host-only detectors run inline; device-backed detectors
+            # (detect_batch) run once per flush to amortize dispatch
             dets = self.detector.detect(rgb)
             if dets:
                 self.long_memory_dict.extend(
@@ -144,6 +147,18 @@ class VoxelTokenMemory:
             return
         B = self.perception.batch_size
         H, W = self.cfg.sensor.height, self.cfg.sensor.width
+        if self.detector is not None and hasattr(self.detector,
+                                                 "detect_batch"):
+            rgbs = np.stack([f[0] for f in self._queue])
+            all_dets = self.detector.detect_batch(rgbs)
+            for (rgb_f, depth_f, pose_f), dets in zip(self._queue, all_dets):
+                if dets:
+                    cam_tf = self._host_cam_to_world(pose_f)
+                    self.long_memory_dict.extend(
+                        LT.instances_from_detections(
+                            dets, depth_f, cam_tf, self.cfg))
+            if any(all_dets):
+                self.long_memory_integration()
         while self._queue:
             chunk = self._queue[:B]
             self._queue = self._queue[B:]

@@ -117,20 +117,27 @@ class ClipPatchDetector:
         self._dense = dense_embed
 
     def detect(self, rgb: np.ndarray) -> List[Detection]:
+        return self.detect_batch(rgb[None])[0]
+
+    def detect_batch(self, rgbs: np.ndarray) -> List[List[Detection]]:
+        """Batched detection (ONE device call for a whole frame batch --
+        per-frame dispatch costs a full host<->device round trip)."""
         import jax.numpy as jnp
 
-        H, W = rgb.shape[:2]
-        emb = np.asarray(self._dense(jnp.asarray(rgb[None, :, :, :3])))[0]
+        B, H, W = rgbs.shape[:3]
+        embs = np.asarray(self._dense(jnp.asarray(rgbs[:, :, :, :3])))
         g = self.cfg.grid
-        sims = emb @ self.text_emb.T                     # [T, C]
-        # softmax over classes -> confidence per patch
-        p = np.exp(sims * 100.0 - sims.max(axis=1, keepdims=True) * 100.0)
-        p /= p.sum(axis=1, keepdims=True)
-        heat = p.max(axis=1).reshape(g, g)
-        labels_idx = p.argmax(axis=1).reshape(g, g)
-        return _boxes_from_heatmap(
-            heat, labels_idx, self.classes, self.confidence,
-            scale_y=H / g, scale_x=W / g)
+        out: List[List[Detection]] = []
+        for b in range(B):
+            sims = embs[b] @ self.text_emb.T             # [T, C]
+            p = np.exp(sims * 100.0 - sims.max(axis=1, keepdims=True) * 100.0)
+            p /= p.sum(axis=1, keepdims=True)
+            heat = p.max(axis=1).reshape(g, g)
+            labels_idx = p.argmax(axis=1).reshape(g, g)
+            out.append(_boxes_from_heatmap(
+                heat, labels_idx, self.classes, self.confidence,
+                scale_y=H / g, scale_x=W / g))
+        return out
 
 
 class ColorPrototypeDetector:

@@ -396,6 +396,24 @@ class YoloWorldDetector:
             lambda p, x, t: forward(p, x, t, cfg))
 
     def detect(self, rgb: np.ndarray) -> List[Detection]:
+        return self._detect_one(rgb)
+
+    def detect_batch(self, rgbs: np.ndarray) -> List[List[Detection]]:
+        """Batched forward, per-frame decode+NMS (one device call)."""
+        B, H0, W0 = rgbs.shape[:3]
+        s = self.cfg.img_size
+        x = jnp.asarray(rgbs[:, :, :, :3], jnp.float32) / 255.0
+        if (H0, W0) != (s, s):
+            x = jax.image.resize(x, (B, s, s, 3), "bilinear")
+        outs = self._fwd(self.params, x, self.text_emb)
+        results = []
+        for b in range(B):
+            per = [(box[b:b + 1], cls[b:b + 1]) for box, cls in outs]
+            boxes, scores = decode_boxes(per, self.cfg)
+            results.append(self._post(boxes, scores, H0, W0))
+        return results
+
+    def _detect_one(self, rgb: np.ndarray) -> List[Detection]:
         H0, W0 = rgb.shape[:2]
         s = self.cfg.img_size
         x = jnp.asarray(rgb[None, :, :, :3], jnp.float32) / 255.0
@@ -403,6 +421,10 @@ class YoloWorldDetector:
             x = jax.image.resize(x, (1, s, s, 3), "bilinear")
         outs = self._fwd(self.params, x, self.text_emb)
         boxes, scores = decode_boxes(outs, self.cfg)
+        return self._post(boxes, scores, H0, W0)
+
+    def _post(self, boxes, scores, H0, W0):
+        s = self.cfg.img_size
         cls_idx = scores.argmax(axis=1)
         conf = scores.max(axis=1)
         sel = conf >= self.confidence
@@ -412,10 +434,10 @@ class YoloWorldDetector:
             m = cls_idx == ci
             keep = nms(boxes[m], conf[m], self.iou_thr)
             for k in keep:
-                b = boxes[m][k] * np.array([W0 / s, H0 / s, W0 / s, H0 / s])
+                bx = boxes[m][k] * np.array([W0 / s, H0 / s, W0 / s, H0 / s])
                 out.append(Detection(
                     self.classes[int(ci)], float(conf[m][k]),
-                    tuple(np.clip(b, 0, max(H0, W0)).tolist())))
+                    tuple(np.clip(bx, 0, max(H0, W0)).tolist())))
         return out
 
 

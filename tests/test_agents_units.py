@@ -147,3 +147,47 @@ def test_mock_llm_and_retry():
         client, "a bed", [np.zeros((8, 8, 3), np.uint8)])
     assert "Success: yes" in out
     assert client.calls[0]["model"] == "gpt-4o"
+
+
+def test_batched_detection_at_flush():
+    """detect_batch-capable detectors run once per flush (amortized
+    device dispatch) and still populate the long-term memory."""
+    import jax
+    from bsc_nav_tpu.config import small_test_config
+    from bsc_nav_tpu.agents.spatial_memory import (
+        Perception, VoxelTokenMemory)
+    from bsc_nav_tpu.env.fake import FakeNavEnv
+    from bsc_nav_tpu.models import vit
+
+    class BatchColorDetector(ColorPrototypeDetector):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            self.batch_calls = 0
+            self.single_calls = 0
+
+        def detect(self, rgb):
+            self.single_calls += 1
+            return super().detect(rgb)
+
+        def detect_batch(self, rgbs):
+            self.batch_calls += 1
+            return [super(BatchColorDetector, self).detect(r) for r in rgbs]
+
+    from bsc_nav_tpu.env.pathfinding import AgentState, Quat
+    cfg = small_test_config()
+    env = FakeNavEnv(cfg, seed=3)
+    # center spawn so scene objects fall inside the small test grid
+    env.reset(init_state=AgentState(np.zeros(3), Quat()), build_map=True)
+    vit_cfg = vit.ViTConfig(img_size=28, patch_size=14, dim=32, depth=1,
+                            heads=2, num_registers=0)
+    det = BatchColorDetector({"bed": (200, 30, 30)}, confidence=0.3)
+    mem = VoxelTokenMemory(
+        cfg, env=env, perception=Perception.create(
+            cfg, vit_cfg=vit_cfg, batch_size=4),
+        detector=det)
+    obs = env.sims.get_sensor_observations(0)
+    mem.excute(obs, ["turn_left"] * 12)
+    mem.flush()
+    assert det.single_calls == 0
+    assert det.batch_calls >= 1
+    assert len(mem.long_memory_dict) >= 1
