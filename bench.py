@@ -38,6 +38,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: the big pipelines take minutes to compile
+    # cold; cached runs start in seconds
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR",
+                                     "/tmp/bsc_nav_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
     from bsc_nav_tpu.config import Config, MemoryConfig
     from bsc_nav_tpu.memory.pipeline import make_build_step, make_query_step
     from bsc_nav_tpu.memory.store import init_store, store_nbytes

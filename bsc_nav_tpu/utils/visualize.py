@@ -168,3 +168,28 @@ class TrajectoryDrawer:
             self._draw_line(frame, (r, c), (pr, pc), self.FOV_COLOR)
         self._draw_disk(frame, r, c, 3, self.AGENT_COLOR)
         return frame
+
+
+def render_token_matching(query_img, ref_img, similarity_2d,
+                          path: str) -> str:
+    """Query image | reference image | patch-similarity heatmap
+    (reference matching2D / plot_token_matching, memory_2.py:278-295,
+    utils.py:111-129), headless PNG."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(1, 3, figsize=(12, 5))
+    axes[0].imshow(np.asarray(query_img)[..., :3])
+    axes[0].set_title("query")
+    axes[1].imshow(np.asarray(ref_img)[..., :3])
+    axes[1].set_title("reference")
+    im = axes[2].imshow(np.asarray(similarity_2d), cmap="inferno")
+    axes[2].set_title("token similarity")
+    for ax in axes:
+        ax.axis("off")
+    fig.colorbar(im, ax=axes[2], fraction=0.046)
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+    return path
