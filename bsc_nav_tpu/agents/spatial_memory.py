@@ -337,18 +337,27 @@ class VoxelTokenMemory:
         return cv.sum(axis=-1) > 0
 
     def _navigable_mask(self, origin: np.ndarray) -> np.ndarray:
+        """Memory-grid-aligned navigability mask (the reference's
+        build_navigable_mask, memory_2.py:1174-1184, was a 1000^2 Python
+        loop over navmesh queries -- hot loop #4).  Grid pathfinders are
+        sampled vectorized; navmesh pathfinders fall back to per-cell
+        queries (candidate for the C++ runtime on large grids)."""
         gs, cs = self.gs, self.cs
-        rows = origin[2] + (np.arange(gs) - gs // 2) * cs
-        cols = origin[0] + (np.arange(gs) - gs // 2) * cs
+        rows = origin[2] + (np.arange(gs) - gs // 2) * cs   # world z
+        cols = origin[0] + (np.arange(gs) - gs // 2) * cs   # world x
         pf = self.Env.plnner.pathfinder
         if hasattr(pf, "nav"):
-            # grid pathfinder: vectorized lookup
-            X, Z = np.meshgrid(cols, rows, indexing="xy")
+            # vectorized cell lookup into the occupancy grid
+            i = np.floor((cols - pf.origin[0]) / pf.res).astype(int)
+            j = np.floor((rows - pf.origin[1]) / pf.res).astype(int)
+            ok_i = (i >= 0) & (i < pf.nav.shape[0])
+            ok_j = (j >= 0) & (j < pf.nav.shape[1])
             out = np.zeros((gs, gs), bool)
-            for r in range(gs):
-                for c in range(gs):
-                    out[r, c] = pf.is_navigable(
-                        np.array([cols[c], pf.floor_y, rows[r]]))
+            ii = np.clip(i, 0, pf.nav.shape[0] - 1)
+            jj = np.clip(j, 0, pf.nav.shape[1] - 1)
+            # memory grid is (row=z, col=x)
+            out[:, :] = pf.nav[ii[None, :], jj[:, None]]
+            out &= ok_i[None, :] & ok_j[:, None]
             return out
         out = np.zeros((gs, gs), bool)
         for r in range(gs):

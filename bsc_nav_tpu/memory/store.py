@@ -151,13 +151,12 @@ def occupied_positions(state: VoxelStoreState) -> Tuple[jnp.ndarray, jnp.ndarray
 def token_cache_view(state: VoxelStoreState):
     """(feats [V1, K, D], norms [V1, K], dists [V1, K]) reshaped views of
     the flat store (host-side/occasional use; reshape is a relayout)."""
-    K = state.feat_count.shape[0]
     V1 = state.feat_count.shape[0]
-    KK = state.feats.shape[0] // V1
+    K = state.feats.shape[0] // V1
     D = state.feats.shape[1]
-    return (state.feats.reshape(V1, KK, D),
-            state.feat_norm.reshape(V1, KK),
-            state.feat_dist.reshape(V1, KK))
+    return (state.feats.reshape(V1, K, D),
+            state.feat_norm.reshape(V1, K),
+            state.feat_dist.reshape(V1, K))
 
 
 def dequantized_feats(state: VoxelStoreState) -> jnp.ndarray:

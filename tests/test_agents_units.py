@@ -191,3 +191,31 @@ def test_batched_detection_at_flush():
     assert det.single_calls == 0
     assert det.batch_calls >= 1
     assert len(mem.long_memory_dict) >= 1
+
+
+def test_frontier_exploration_end_to_end():
+    """explore_entire_space: vectorized navigable mask + frontier
+    selection + navigation grows the map (memory_2.py:1347-1387 flow)."""
+    import jax
+    from bsc_nav_tpu.config import small_test_config
+    from bsc_nav_tpu.agents.spatial_memory import (
+        Perception, VoxelTokenMemory)
+    from bsc_nav_tpu.env.fake import FakeNavEnv
+    from bsc_nav_tpu.env.pathfinding import AgentState, Quat
+    from bsc_nav_tpu.models import vit
+
+    cfg = small_test_config()
+    env = FakeNavEnv(cfg, seed=5)
+    env.reset(init_state=AgentState(np.zeros(3), Quat()), build_map=True)
+    vit_cfg = vit.ViTConfig(img_size=28, patch_size=14, dim=32, depth=1,
+                            heads=2, num_registers=0)
+    mem = VoxelTokenMemory(
+        cfg, env=env,
+        perception=Perception.create(cfg, vit_cfg=vit_cfg, batch_size=4))
+    mem.explore_entire_space(max_iterations=2, save=False)
+    assert int(mem.state.num_voxels) > 100
+    known = mem._known_mask()
+    assert known.sum() > 50
+    nav = mem._navigable_mask(np.zeros(3))
+    # navigable area excludes obstacles but covers much of the room
+    assert 0.1 < nav.mean() <= 1.0
