@@ -90,3 +90,25 @@ def make_query_step(cfg: Config, vit_cfg: vit.ViTConfig,
             use_floor=use_floor, floor_range=floor_range)
 
     return query_step
+
+
+def token_similarity_map(params, query_img: jnp.ndarray,
+                         ref_img: jnp.ndarray, vit_cfg: vit.ViTConfig,
+                         cfg: Config) -> jnp.ndarray:
+    """Patch-level cosine similarity between a query image's pooled
+    token and every reference-image patch (reference matching2D,
+    memory_2.py:278-295).  Returns [nh, nw] f32 for visualization via
+    utils.visualize.render_token_matching."""
+    q = (cfg.query.query_height, cfg.query.query_width)
+    qx = vit.preprocess(query_img[None], out_hw=q)
+    rx = vit.preprocess(ref_img[None], out_hw=q)
+    qt = vit.forward_features(params, qx, vit_cfg)["x_norm_patchtokens"]
+    rt = vit.forward_features(params, rx, vit_cfg)["x_norm_patchtokens"]
+    qv = jnp.mean(qt[0], axis=0)
+    qv = qv / jnp.maximum(jnp.linalg.norm(qv), 1e-12)
+    rn = rt[0] / jnp.maximum(
+        jnp.linalg.norm(rt[0], axis=-1, keepdims=True), 1e-12)
+    sims = rn @ qv
+    nh = q[0] // vit_cfg.patch_size
+    nw = q[1] // vit_cfg.patch_size
+    return sims.reshape(nh, nw)

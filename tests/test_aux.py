@@ -91,3 +91,38 @@ def test_dynamic_env_mutates_objects():
     snapped = env.pathfinder.snap_point(goal)
     env.position = snapped
     assert tasks.evaluate(task)["success"] == 1.0
+
+
+def test_token_similarity_map_and_render(tmp_path):
+    """matching2D parity path: similarity map peaks where the query
+    content appears in the reference image."""
+    import jax
+    from bsc_nav_tpu.config import small_test_config, QueryConfig
+    from bsc_nav_tpu.memory.pipeline import token_similarity_map
+    from bsc_nav_tpu.models import vit
+    from bsc_nav_tpu.utils.visualize import render_token_matching
+
+    cfg = small_test_config().replace(
+        query=QueryConfig(query_width=56, query_height=56))
+    vit_cfg = vit.ViTConfig(img_size=56, patch_size=14, dim=32, depth=2,
+                            heads=2, num_registers=1)
+    params = vit.init_params(vit_cfg, jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    # query: pure red; reference: gray with a red quadrant (top-left)
+    query = np.full((56, 56, 3), (200, 30, 30), np.uint8)
+    ref = np.full((56, 56, 3), 128, np.uint8)
+    ref[:28, :28] = (200, 30, 30)
+
+    sims = np.asarray(token_similarity_map(
+        params, jnp.asarray(query), jnp.asarray(ref), vit_cfg, cfg))
+    assert sims.shape == (4, 4)
+    # red patches should outscore gray patches on average
+    red = sims[:2, :2].mean()
+    gray = sims[2:, 2:].mean()
+    assert red > gray, (red, gray)
+
+    p = render_token_matching(query, ref, sims,
+                              str(tmp_path / "match.png"))
+    import os
+    assert os.path.getsize(p) > 1000

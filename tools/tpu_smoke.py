@@ -1,0 +1,109 @@
+"""Full-scale serving smoke on real TPU hardware.
+
+Compiles and times single forwards of the big frozen models at their
+production shapes (random weights -- identical FLOPs/memory to real
+checkpoints):
+
+  - DINOv2 ViT-L/14-reg @ 224, batch 32 (the memory-build encoder)
+  - SD3.5-medium MMDiT: one denoising step @ 512px latents (the
+    text->image imagination transformer, joint seq ~1100 tokens)
+  - YOLOv8x-World detector @ 640px (long-term memory feeder)
+  - CLIP ViT-H/14 image tower @ 224 (check_around scorer)
+
+  python tools/tpu_smoke.py            # prints one timing line per model
+
+Last recorded run (TPU v5e-1):  see tools/tpu_smoke.last.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timed(name, fn, *args, iters=5):
+    import jax
+    t0 = time.perf_counter()
+    out = fn(*args)
+    first = float(np.asarray(out).ravel()[0])
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    outs = [fn(*args) for _ in range(iters)]
+    _ = float(np.asarray(outs[-1]).ravel()[0])
+    ms = (time.perf_counter() - t0) / iters * 1000
+    print(f"{name:<34} compile {compile_s:6.1f}s   {ms:8.1f} ms/iter")
+    return {"name": name, "compile_s": round(compile_s, 1),
+            "ms_per_iter": round(ms, 1)}
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    results = {"devices": str(jax.devices())}
+    rows = []
+
+    # --- DINOv2 ViT-L encoder -------------------------------------------
+    from bsc_nav_tpu.models import vit
+    vcfg = vit.DINOV2_VITL14_REG
+    vparams = vit.init_params(vcfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    img = jax.random.normal(jax.random.PRNGKey(1), (32, 224, 224, 3),
+                            jnp.bfloat16)
+    fwd = jax.jit(lambda p, x: jnp.sum(vit.forward_features(
+        p, x, vcfg)["x_norm_patchtokens"].astype(jnp.float32)))
+    rows.append(timed("dinov2_vitl14_reg b32@224", fwd, vparams, img))
+
+    # --- CLIP ViT-H image tower -----------------------------------------
+    from bsc_nav_tpu.models import clip as C
+    ccfg = C.METACLIP_VITH14
+    cparams = C.init_params(ccfg, jax.random.PRNGKey(2), dtype=jnp.bfloat16)
+    cimg = jax.random.normal(jax.random.PRNGKey(3), (12, 224, 224, 3),
+                             jnp.bfloat16)
+    cfwd = jax.jit(lambda p, x: jnp.sum(
+        C.encode_image(p, x, ccfg).astype(jnp.float32)))
+    rows.append(timed("metaclip_vith14 image b12@224", cfwd, cparams, cimg))
+
+    # --- SD3.5-medium MMDiT single step ----------------------------------
+    from bsc_nav_tpu.models import mmdit as M
+    mcfg = M.SD35_MEDIUM
+    mparams = M.init_params(mcfg, jax.random.PRNGKey(4), dtype=jnp.bfloat16)
+    lat = jax.random.normal(jax.random.PRNGKey(5),
+                            (3, mcfg.input_size, mcfg.input_size,
+                             mcfg.in_channels), jnp.bfloat16)
+    ctx = jax.random.normal(jax.random.PRNGKey(6), (3, 77 + 77, mcfg.context_dim),
+                            jnp.bfloat16)
+    pooled = jax.random.normal(jax.random.PRNGKey(7), (3, mcfg.pooled_dim),
+                               jnp.bfloat16)
+    mfwd = jax.jit(lambda p, l, c, po: jnp.sum(M.forward(
+        p, l, jnp.full((3,), 0.5), c, po, mcfg).astype(jnp.float32)))
+    rows.append(timed("sd3.5-medium mmdit b3@512px step", mfwd, mparams,
+                      lat, ctx, pooled, iters=3))
+
+    # --- YOLOv8x-World @640 ----------------------------------------------
+    from bsc_nav_tpu.models import yolo_world as Y
+    ycfg = Y.YOLOV8X_WORLDV2
+    yparams = Y.init_params(ycfg, jax.random.PRNGKey(8), dtype=jnp.bfloat16,
+                            text_dim=512)
+    yimg = jax.random.uniform(jax.random.PRNGKey(9), (4, 640, 640, 3),
+                              jnp.bfloat16)
+    ytxt = jax.random.normal(jax.random.PRNGKey(10), (21, 512), jnp.bfloat16)
+    yfwd = jax.jit(lambda p, x, t: jnp.sum(Y.forward(
+        p, x, t, ycfg)[0][0].astype(jnp.float32)))
+    rows.append(timed("yolov8x-world b4@640", yfwd, yparams, yimg, ytxt))
+
+    results["models"] = rows
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "tpu_smoke.last.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
