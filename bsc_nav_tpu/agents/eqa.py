@@ -62,6 +62,10 @@ class EQAAgent(ObjectNavRobot):
                 return
         self.save_log()
 
+    # reference API name (agent_eqa.py:136 spells it 'anhor')
+    def move2anhorobject(self, text_prompt: str) -> None:
+        return self.move2anchorobject(text_prompt)
+
     def random_move(self) -> None:
         """Area-scaled random exploration fallback (agent_eqa.py:183-215)."""
         self.obs_for_qa = []

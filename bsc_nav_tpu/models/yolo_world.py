@@ -263,7 +263,9 @@ def forward(params, images: jnp.ndarray, text_emb: jnp.ndarray,
     """images [B,H,W,3] float in [0,1]; text_emb [T, text_dim] normalized.
     Returns per level (box_logits [B,h,w,4*reg_max],
     cls_logits [B,h,w,T])."""
-    guide = text_emb[None]
+    B = images.shape[0]
+    guide = jnp.broadcast_to(text_emb[None],
+                             (B, *text_emb.shape))
     if "txt_proj" in params:
         proj_guide = jnp.einsum("bte,ef->btf", guide, params["txt_proj"]["w"])
     else:

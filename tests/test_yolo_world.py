@@ -63,15 +63,17 @@ def test_forward_shapes_and_decode():
     T = 5
     text = jnp.asarray(np.random.default_rng(0).normal(
         size=(T, 32)).astype(np.float32))
+    B = 2   # multi-frame batch (guide must broadcast over the batch)
     img = jnp.asarray(np.random.default_rng(1).uniform(
-        0, 1, size=(1, CFG.img_size, CFG.img_size, 3)).astype(np.float32))
+        0, 1, size=(B, CFG.img_size, CFG.img_size, 3)).astype(np.float32))
     outs = Y.forward(params, img, text, CFG)
     assert len(outs) == 3
     s = CFG.img_size
     for (box, cls), stride in zip(outs, CFG.strides):
-        assert box.shape == (1, s // stride, s // stride, 4 * CFG.reg_max)
-        assert cls.shape == (1, s // stride, s // stride, T)
-    boxes, scores = Y.decode_boxes(outs, CFG)
+        assert box.shape == (B, s // stride, s // stride, 4 * CFG.reg_max)
+        assert cls.shape == (B, s // stride, s // stride, T)
+    outs0 = [(b[:1], c[:1]) for b, c in outs]
+    boxes, scores = Y.decode_boxes(outs0, CFG)
     n_anchors = sum((s // st) ** 2 for st in CFG.strides)
     assert boxes.shape == (n_anchors, 4)
     assert scores.shape == (n_anchors, T)
