@@ -1,0 +1,89 @@
+"""Segmented store: rotation, host spill, cross-segment query merge."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from bsc_nav_tpu.config import small_test_config
+from bsc_nav_tpu.memory import ingest as ing
+from bsc_nav_tpu.memory.segments import SegmentedStore
+from bsc_nav_tpu.memory import query as Q
+from bsc_nav_tpu.memory.store import init_store
+
+from test_ingest import make_frames
+
+
+def tiny_cfg():
+    cfg = small_test_config()
+    mem = cfg.memory.__class__(
+        grid_size=64, floor_height=-3.2, map_height=3.2, token_dim=32,
+        cache_size=4, voxel_capacity=248, depth_sample_rate=8)
+    return cfg.replace(memory=mem)
+
+
+def test_rotation_and_spill_preserve_all_voxels():
+    cfg = tiny_cfg()
+    seg = SegmentedStore(cfg.memory, max_device_segments=1)
+    key = jax.random.PRNGKey(0)
+
+    total_before_dedup = 0
+    for b in range(4):
+        rgb, depth, poses, tokens = make_frames(cfg, 1, seed=b)
+        poses[:, :3] = b * 1.2          # move so new voxels appear
+        key, sub = jax.random.split(key)
+        state, stats = ing.ingest_frames(
+            seg.state, jnp.asarray(rgb), jnp.asarray(depth),
+            jnp.asarray(poses), jnp.asarray(tokens), sub, cfg)
+        seg.state = state
+        seg.rotate_if_full()
+
+    assert seg.num_segments >= 2, "capacity never filled; tune the test"
+    assert len(seg.host_segments) >= 1 or len(seg.device_segments) >= 1
+    assert seg.total_voxels() > cfg.memory.voxel_capacity  # grew past one
+
+
+def test_cross_segment_query_merges_and_dedups(rng):
+    cfg = tiny_cfg()
+    seg = SegmentedStore(cfg.memory, max_device_segments=0)  # spill all
+
+    D = cfg.memory.token_dim
+
+    def put_tokens(state, entries):
+        """entries: list of (pos(r,c,h), token)."""
+        V1 = state.feat_count.shape[0]
+        K = state.feats.shape[0] // V1
+        feats = np.zeros((V1 * K, D), np.float32)
+        norms = np.zeros((V1 * K,), np.float32)
+        counts = np.zeros((V1,), np.int32)
+        pos = np.zeros((V1, 3), np.int32)
+        for i, (p, t) in enumerate(entries):
+            feats[i * K] = t
+            norms[i * K] = np.linalg.norm(t)
+            counts[i] = 1
+            pos[i] = p
+        return state.replace(
+            feats=jnp.asarray(feats), feat_norm=jnp.asarray(norms),
+            feat_count=jnp.asarray(counts), slot_pos=jnp.asarray(pos),
+            num_voxels=jnp.asarray(len(entries), jnp.int32),
+            initialized=jnp.ones((), jnp.bool_))
+
+    q = rng.normal(size=D).astype(np.float32)
+    t_hi = q * 2.0                         # cosine 1.0 with q
+    t_mid = q + rng.normal(size=D) * 2.0
+    t_lo = rng.normal(size=D).astype(np.float32)
+
+    # segment 1 (frozen): voxel A with a mid token, voxel B with low
+    s1 = put_tokens(init_store(cfg.memory), [((5, 5, 5), t_mid),
+                                             ((9, 9, 9), t_lo)])
+    seg.state = s1
+    seg.rotate_threshold = 0               # force rotation
+    seg.rotate_if_full()
+    # active segment: voxel A revisited with a PERFECT token
+    seg.state = put_tokens(seg.state, [((5, 5, 5), t_hi)])
+
+    pos, score = seg.localize(jnp.asarray(q), top_k=8)
+    assert len(pos) == 2                   # A deduplicated, B kept
+    assert tuple(pos[0]) == (5, 5, 5)
+    np.testing.assert_allclose(score[0], 1.0, atol=1e-4)
+    assert tuple(pos[1]) == (9, 9, 9)
+    assert score[1] < score[0]
