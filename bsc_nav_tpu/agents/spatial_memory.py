@@ -80,7 +80,8 @@ def state_to_pose_vec(agent_state) -> np.ndarray:
 class VoxelTokenMemory:
     def __init__(self, cfg: Config, env, perception: Perception,
                  detector=None, imagination=None,
-                 memory_path: Optional[str] = None):
+                 memory_path: Optional[str] = None,
+                 store_dtype=jnp.float32):
         self.cfg = cfg
         self.Env = env
         self.perception = perception
@@ -89,7 +90,8 @@ class VoxelTokenMemory:
         self.memory_save_path = memory_path or os.path.join(
             cfg.memory_path, cfg.sim.scene_name)
 
-        self.state = init_store(cfg.memory)
+        self.store_dtype = store_dtype
+        self.state = init_store(cfg.memory, store_dtype=store_dtype)
         self._key = jax.random.PRNGKey(cfg.seed)
         self._queue: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         self._inv_init_host: Optional[np.ndarray] = None
@@ -390,7 +392,8 @@ class VoxelTokenMemory:
         self.Env.reset(init_state=init_state, build_map=build_map)
         if build_map:
             return
-        self.state, meta = P.load_reference_format(path, self.cfg.memory)
+        self.state, meta = P.load_reference_format(
+            path, self.cfg.memory, store_dtype=self.store_dtype)
         self.long_memory_dict = list(meta["long_memory"])
         self.base_height = list(meta["base_height"])
         self.Env.original_state.position = np.asarray(meta["original_pos"])
