@@ -219,3 +219,28 @@ def test_single_floor_filter_path(world, tmp_path):
     if len(topk):
         assert ((topk[:, 2] >= mem2.floor_min_height)
                 & (topk[:, 2] <= mem2.floor_max_height)).all()
+
+
+def test_touching_goal_local_policy(world):
+    """LLM local stepper (objnav_benchmark.py:665-695): executes the
+    strategy 4x per round until finish_task."""
+    cfg, scene, bench, memory = world
+    calls = {"n": 0}
+
+    def responder(t):
+        calls["n"] += 1
+        return ("**Strategy**: 'move_forward'" if calls["n"] == 1
+                else "**Strategy**: 'finish_task'")
+
+    client = L.MockLLMClient(responders=[
+        (lambda t: "finishing a navigation task" in t, responder)])
+    robot = ObjectNavRobot(memory, bench, llm_client=client,
+                           matcher=ColorViewScorer(PROTOTYPES))
+    obs = bench.reset()
+    robot.reset(obs)
+    start = bench.sim.agents[0].get_state().position.copy()
+    robot.touching_goal("a bed", [np.asarray(obs["rgb"])[:, :, :3]])
+    assert calls["n"] == 2
+    moved = np.linalg.norm(
+        bench.sim.agents[0].get_state().position - start)
+    assert moved > 0.5   # 4 forward steps executed before finish_task
