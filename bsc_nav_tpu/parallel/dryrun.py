@@ -115,5 +115,16 @@ def dryrun_multichip(n_devices: int, devices=None) -> None:
     assert n > 0, "dry run ingested no voxels"
     s = np.asarray(scores)
     assert np.isfinite(s[s > -np.inf]).all()
+
+    # explicit-collective path: shard_map distributed top-k over the
+    # mp-sharded store must agree with the GSPMD localize
+    from bsc_nav_tpu.parallel.sharded_query import sharded_localize
+    q = jnp.ones((cfg.memory.token_dim,), jnp.float32)
+    p_ref, s_ref = localize(state, q, top_k=8)
+    p_sh, s_sh = sharded_localize(state, q, mesh, top_k=8)
+    np.testing.assert_allclose(np.asarray(s_sh), np.asarray(s_ref),
+                               rtol=1e-4, atol=1e-5)
+
     print(f"dryrun_multichip OK: mesh dp={dp} mp={mp}, "
-          f"{n} voxels, top score {float(s[0]):.4f}")
+          f"{n} voxels, top score {float(s[0]):.4f}, "
+          f"distributed top-k verified")
