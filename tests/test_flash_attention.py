@@ -75,3 +75,18 @@ def test_similarity_kernel_matches_reference():
     live = counts > 0
     np.testing.assert_allclose(o[live], r[live], rtol=1e-3, atol=1e-4)
     assert (o[~live] == -np.inf).all()
+
+
+def test_short_attention_matches_reference():
+    from bsc_nav_tpu.ops.flash_attention import short_attention
+    B, H, S, D = 2, 4, 261, 64
+    q, k, v = mk((B, H, S, D), 20), mk((B, H, S, D), 21), mk((B, H, S, D), 22)
+    out = short_attention(q, k, v, interpret=True)
+    exp = reference_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(exp),
+                               rtol=2e-3, atol=2e-3)
+    # causal
+    out_c = short_attention(q, k, v, causal=True, interpret=True)
+    exp_c = reference_attention(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(exp_c),
+                               rtol=2e-3, atol=2e-3)
