@@ -85,16 +85,41 @@ def habitat_config(args) -> Config:
         load_single_floor=args.load_single_floor))
 
 
-def make_llm(args):
+def make_llm(args, bench=None):
     if args.llm == "openai":
         return L.OpenAICompatClient()
+    import re as _re
+
+    def _echo_braced_goal(t):
+        # instruction text like "Walk to the X and stop ..." -> one subgoal
+        m = _re.search(r"Walk to the ([a-z ]+?) and stop", t)
+        goal = m.group(1) if m else "bed"
+        return f"1. Move to the {{{goal}}}"
+
+    def _oracle_judge(t):
+        # fake-world VLM judge: answer from the TRUE goal distance so
+        # success reflects localization+navigation quality rather than
+        # mock optimism (a real VLM sees the goal in the image)
+        if bench is not None:
+            d = bench.get_metrics()["distance_to_goal"]
+            thr = getattr(bench, "success_distance", 1.5)
+            if d <= thr:
+                return "Success: yes\nneed forward: no"
+            return "Success: no\ntoo far"
+        return "Success: yes\nneed forward: no"
+
     return L.MockLLMClient(responders=[
         (lambda t: "Judge whether" in t or "Compare the goal image" in t,
-         lambda t: "Success: yes\nneed forward: no"),
+         _oracle_judge),
         (lambda t: "Rewrite the following" in t, lambda t: t[-500:]),
+        (lambda t: "Merge the two descriptions" in t, lambda t: t[-500:]),
         (lambda t: "Decompose the indoor navigation" in t,
-         lambda t: "1. Move to the {bed}\n2. Move to the {sofa}"),
-        (lambda t: "names a nearby target" in t, lambda t: "a bed"),
+         _echo_braced_goal),
+        (lambda t: "names a nearby target" in t,
+         lambda t: (_re.search(r"Instruction: ([a-zA-Z ]+?)\\n", t)
+                    or _re.search(r"Instruction: ([a-zA-Z ]+)", t)
+                    ).group(1) if _re.search(
+                        r"Instruction: ([a-zA-Z ]+)", t) else "a bed"),
         (lambda t: "navigates to the relevant instance" in t,
          lambda t: "Now, we need to go to {a bed}"),
         (lambda t: "Answer the question" in t, lambda t: "mock answer"),
@@ -114,8 +139,12 @@ class SceneImagination:
 
     def __call__(self, text: str) -> np.ndarray:
         math = self._math
-        box = next((b for b in self.scene.boxes
-                    if b.label and b.label in text), self.scene.boxes[0])
+        import re as _re
+        box = next(
+            (b for b in self.scene.boxes
+             if b.label and _re.search(rf"\b{_re.escape(b.label)}\b",
+                                       text)),
+            self.scene.boxes[0])
         c = np.asarray(box.center)
         views = []
         for off in [(-0.8, -0.8), (-0.9, 0.0), (0.0, -0.9)]:
@@ -166,7 +195,7 @@ def build_world(args, task: str = "objnav"
         imagination=imagination)
 
     extras = {
-        "llm": make_llm(args),
+        "llm": make_llm(args, bench=bench),
         "matcher": ColorViewScorer(FAKE_PROTOTYPES),
         "imagination": imagination,
         "scene": scene,

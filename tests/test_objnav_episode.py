@@ -44,9 +44,10 @@ class SceneImagination:
 
     def __call__(self, text: str) -> np.ndarray:
         import math
+        import re as _re
         box = None
         for b in self.scene.boxes:
-            if b.label and b.label in text:
+            if b.label and _re.search(rf"\b{_re.escape(b.label)}\b", text):
                 box = b
                 break
         if box is None:
