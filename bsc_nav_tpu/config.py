@@ -83,6 +83,11 @@ class MemoryConfig:
     # most-similar replacement (memory_2.py:364-536, TPU redesign: the
     # novelty baseline is the running mean token of each neighbor voxel)
     replacement: str = "dist"
+    # surprise novelty baseline: False = running-mean token per neighbor
+    # voxel (cheap approximation); True = exact reference semantics (min
+    # cosine distance over every CACHED neighbor token,
+    # memory_2.py:375-384), computed in chunks to bound the gather size
+    surprise_exact: bool = False
     neighbor_radius: int = 1
     boring_threshold: float = 0.95
     surprise_threshold: float = 0.5

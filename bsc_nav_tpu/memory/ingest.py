@@ -257,15 +257,47 @@ def ingest_frames(
         )
         nlid = jnp.where(n_ok, linear_voxel_id(nrc, Gs, Hc), GARBAGE_LID)
         nslot = jnp.where(slot_map[nlid] >= 0, slot_map[nlid], V)
-        n_obs = feat_obs[nslot]                              # pre-batch
-        n_ok &= n_obs > 0
-        n_mean = feat_sum[nslot] / jnp.maximum(n_obs, 1.0)[..., None]
-        n_mean_norm = jnp.linalg.norm(n_mean, axis=-1)
-        cos = jnp.einsum("nkd,nd->nk", n_mean,
-                         token.astype(jnp.float32), precision=_HI)
-        cos = cos / jnp.maximum(n_mean_norm * tok_norm[:, None], 1e-12)
-        cos_dist = jnp.where(n_ok, 1.0 - cos, jnp.inf)
-        surprise = jnp.min(cos_dist, axis=-1)
+        if mem.surprise_exact:
+            # exact reference semantics (memory_2.py:375-384): min cosine
+            # distance against EVERY cached token of every neighbor,
+            # chunked so the [chunk, 26, K, D] gather stays bounded
+            CH = 512
+            n_pad = (-N) % CH
+            nslot_p = jnp.pad(nslot, ((0, n_pad), (0, 0)),
+                              constant_values=V)
+            n_ok_p = jnp.pad(n_ok, ((0, n_pad), (0, 0)))
+            token_p = jnp.pad(token.astype(jnp.float32),
+                              ((0, n_pad), (0, 0)))
+            tok_norm_p = jnp.pad(tok_norm, (0, n_pad))
+
+            def chunk_surprise(args):
+                ns, ok, tk, tn = args          # [CH,26],[CH,26],[CH,D],[CH]
+                rows = ns[:, :, None] * K + jnp.arange(K)[None, None, :]
+                nf = state.feats[rows].astype(jnp.float32)   # [CH,26,K,D]
+                nn = state.feat_norm[rows]                   # [CH,26,K]
+                km = (jnp.arange(K)[None, None, :]
+                      < state.feat_count[ns][:, :, None])
+                cos = jnp.einsum("cnkd,cd->cnk", nf, tk, precision=_HI)
+                cos = cos / jnp.maximum(nn * tn[:, None, None], 1e-12)
+                cd = jnp.where(ok[:, :, None] & km, 1.0 - cos, jnp.inf)
+                return jnp.min(cd, axis=(1, 2))
+
+            surprise = jax.lax.map(
+                chunk_surprise,
+                (nslot_p.reshape(-1, CH, offs.shape[0]),
+                 n_ok_p.reshape(-1, CH, offs.shape[0]),
+                 token_p.reshape(-1, CH, D),
+                 tok_norm_p.reshape(-1, CH))).reshape(-1)[:N]
+        else:
+            n_obs = feat_obs[nslot]                          # pre-batch
+            n_ok &= n_obs > 0
+            n_mean = feat_sum[nslot] / jnp.maximum(n_obs, 1.0)[..., None]
+            n_mean_norm = jnp.linalg.norm(n_mean, axis=-1)
+            cos = jnp.einsum("nkd,nd->nk", n_mean,
+                             token.astype(jnp.float32), precision=_HI)
+            cos = cos / jnp.maximum(n_mean_norm * tok_norm[:, None], 1e-12)
+            cos_dist = jnp.where(n_ok, 1.0 - cos, jnp.inf)
+            surprise = jnp.min(cos_dist, axis=-1)
         existed_before = looked >= 0
         cache_valid = valid & (
             ~existed_before | (surprise > mem.surprise_threshold))

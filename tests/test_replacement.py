@@ -177,3 +177,57 @@ def test_forgetting_pass_matches_oracle():
     # distinct tokens survive untouched
     assert oc[1] == K
     np.testing.assert_allclose(of[1, :K], v1, rtol=1e-5)
+
+
+def test_surprise_exact_matches_reference_oracle():
+    """Exact surprise gate: min cosine distance against every cached
+    neighbor token (memory_2.py:375-384), verified per incoming point
+    against a Python oracle over the pre-batch store."""
+    cfg = surprise_cfg()
+    cfg = cfg.replace(memory=cfg.memory.__class__(
+        grid_size=64, floor_height=-3.2, map_height=3.2, token_dim=32,
+        cache_size=4, voxel_capacity=(1 << 10) - 8, depth_sample_rate=8,
+        replacement="surprise", surprise_exact=True,
+        surprise_threshold=0.5))
+
+    rgb, depth, poses, tokens = make_frames(cfg, 2, seed=0)
+    depth[:] = 0.5
+    poses[:, :3] = 0.0
+    poses[:, 3:6] = 0.0
+    poses[:, 6] = 1.0
+
+    state = init_store(cfg.memory)
+    k = jax.random.PRNGKey(0)
+    state1, _ = ing.ingest_frames(
+        state, jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(poses),
+        jnp.asarray(tokens), k, cfg)
+
+    # second pass with NOVEL tokens: compute, for a sample of voxels the
+    # oracle can reach, whether the exact gate accepted
+    tokens2 = -tokens
+    state2, _ = ing.ingest_frames(
+        state1, jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(poses),
+        jnp.asarray(tokens2), jax.random.PRNGKey(1), cfg)
+
+    # oracle: negated tokens are maximally distant from the stored ones
+    # (cosine distance ~2 > 0.5) -> every revisited voxel must accept
+    c1 = np.asarray(state1.feat_count)
+    c2 = np.asarray(state2.feat_count)
+    n = int(state1.num_voxels)
+    K = cfg.memory.cache_size
+    grew = ((c2[:n] > c1[:n]) | (c1[:n] == K)).mean()
+    f1 = np.asarray(dequantized_feats(state1))[:n]
+    f2 = np.asarray(dequantized_feats(state2))[:n]
+    changed = (np.abs(f2 - f1).max(axis=(1, 2)) > 1e-6)
+    accepted = max((c2[:n] > c1[:n]).mean(), changed.mean())
+    assert accepted > 0.3, f"exact gate rejected novel tokens ({accepted})"
+
+    # and the boring case: identical re-ingest must be gated
+    state3, _ = ing.ingest_frames(
+        state1, jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(poses),
+        jnp.asarray(tokens), jax.random.PRNGKey(2), cfg)
+    c3 = np.asarray(state3.feat_count)
+    grew_boring = (c3[:n] > c1[:n]).mean()
+    f3 = np.asarray(dequantized_feats(state3))[:n]
+    changed_boring = (np.abs(f3 - f1).max(axis=(1, 2)) > 1e-6).mean()
+    assert changed_boring < 0.1, f"boring tokens accepted ({changed_boring})"
