@@ -45,6 +45,7 @@ class Perception:
     vit_cfg: vit.ViTConfig
     build_step: Callable
     query_step: Callable
+    pool_step: Optional[Callable] = None   # images -> pooled query vector
     batch_size: int = 8
 
     @staticmethod
@@ -62,11 +63,22 @@ class Perception:
             else:
                 vit_params = vit.init_params(
                     vit_cfg, jax.random.PRNGKey(seed))
+        from bsc_nav_tpu.memory.query import gaussian_center_pool
+
+        @jax.jit
+        def pool_step(params, images_uint8):
+            q = (cfg.query.query_height, cfg.query.query_width)
+            x = vit.preprocess(images_uint8, out_hw=q).astype(compute_dtype)
+            tokens = vit.forward_features(
+                params, x, vit_cfg)["x_norm_patchtokens"]
+            return gaussian_center_pool(tokens)
+
         return Perception(
             vit_params=vit_params,
             vit_cfg=vit_cfg,
             build_step=make_build_step(cfg, vit_cfg, compute_dtype),
             query_step=make_query_step(cfg, vit_cfg, compute_dtype),
+            pool_step=pool_step,
             batch_size=batch_size,
         )
 
@@ -81,7 +93,9 @@ class VoxelTokenMemory:
     def __init__(self, cfg: Config, env, perception: Perception,
                  detector=None, imagination=None,
                  memory_path: Optional[str] = None,
-                 store_dtype=jnp.float32):
+                 store_dtype=jnp.float32,
+                 segmented: bool = False,
+                 max_device_segments: int = 1):
         self.cfg = cfg
         self.Env = env
         self.perception = perception
@@ -91,7 +105,15 @@ class VoxelTokenMemory:
             cfg.memory_path, cfg.sim.scene_name)
 
         self.store_dtype = store_dtype
-        self.state = init_store(cfg.memory, store_dtype=store_dtype)
+        self.segments = None
+        if segmented:
+            from bsc_nav_tpu.memory.segments import SegmentedStore
+            self.segments = SegmentedStore(
+                cfg.memory, store_dtype=store_dtype,
+                max_device_segments=max_device_segments)
+            self.state = self.segments.state
+        else:
+            self.state = init_store(cfg.memory, store_dtype=store_dtype)
         self._key = jax.random.PRNGKey(cfg.seed)
         self._queue: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         self._inv_init_host: Optional[np.ndarray] = None
@@ -175,6 +197,10 @@ class VoxelTokenMemory:
                 carry, self.perception.vit_params,
                 jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(poses))
             self.state, self._key = carry
+            if self.segments is not None:
+                self.segments.state = self.state
+                if self.segments.rotate_if_full():
+                    self.state = self.segments.state
 
     # reference single-frame API (memory_2.py:842)
     def obs2voxeltoken(self, obs, pose: np.ndarray) -> None:
@@ -252,6 +278,28 @@ class VoxelTokenMemory:
         use_region = np.isfinite(region_radius)
         use_floor = (self.load_single_floor
                      and self.floor_min_height is not None)
+
+        if self.segments is not None and self.segments.num_segments > 1:
+            # segmented scenes: pooled query vector, global merged top-K
+            self.segments.state = self.state
+            pooled = self.perception.pool_step(
+                self.perception.vit_params, imgs)
+            kwargs = {}
+            if use_region:
+                kwargs = dict(use_region=True,
+                              curr_grid=jnp.asarray(curr_grid, jnp.int32),
+                              region_radius=float(region_radius))
+            if use_floor:
+                kwargs.update(use_floor=True, floor_range=jnp.asarray(
+                    [self.floor_min_height, self.floor_max_height],
+                    jnp.int32))
+            positions, scores = self.segments.localize(
+                pooled, top_k=K, **kwargs)
+            if len(positions) == 0:
+                return (np.zeros((0, 3), int), np.zeros((0, 3), int),
+                        np.zeros((0,), np.float32))
+            return positions[:1], positions, scores
+
         positions, scores = self.perception.query_step(
             self.state, self.perception.vit_params, imgs, top_k=K,
             use_region=bool(use_region),

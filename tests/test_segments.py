@@ -87,3 +87,38 @@ def test_cross_segment_query_merges_and_dedups(rng):
     np.testing.assert_allclose(score[0], 1.0, atol=1e-4)
     assert tuple(pos[1]) == (9, 9, 9)
     assert score[1] < score[0]
+
+
+def test_agent_with_segmented_memory():
+    """VoxelTokenMemory(segmented=True): build across rotations, query
+    merges all segments."""
+    import math
+    from bsc_nav_tpu.agents.spatial_memory import (
+        Perception, VoxelTokenMemory)
+    from bsc_nav_tpu.env.fake import FakeNavEnv
+    from bsc_nav_tpu.env.pathfinding import AgentState, Quat
+    from bsc_nav_tpu.models import vit
+    from bsc_nav_tpu.config import QueryConfig
+
+    cfg = tiny_cfg().replace(
+        query=QueryConfig(top_k=16, query_width=28, query_height=28))
+    env = FakeNavEnv(cfg, seed=7)
+    env.reset(init_state=AgentState(np.zeros(3), Quat()), build_map=True)
+    vit_cfg = vit.ViTConfig(img_size=28, patch_size=14, dim=32, depth=1,
+                            heads=2, num_registers=0)
+    mem = VoxelTokenMemory(
+        cfg, env=env,
+        perception=Perception.create(cfg, vit_cfg=vit_cfg, batch_size=4),
+        segmented=True, max_device_segments=0)   # spill immediately
+    obs = env.sims.get_sensor_observations(0)
+    # enough spinning/moving to overflow the 248-voxel capacity repeatedly
+    for step in range(3):
+        mem.excute(obs, ["turn_left"] * 8 + ["move_forward"] * 4)
+    mem.flush()
+    assert mem.segments.num_segments >= 2
+    assert mem.segments.total_voxels() > cfg.memory.voxel_capacity
+
+    # query merges across segments (image query; any view works)
+    best, topk, sims = mem.voxel_localized(obs["rgb"][:, :, :3])
+    assert len(topk) > 0
+    assert np.isfinite(sims).all()
