@@ -264,3 +264,46 @@ def test_sequential_batches_accumulate():
     np.testing.assert_allclose(np.asarray(s_a.inv_init_base_tf),
                                np.asarray(s_b.inv_init_base_tf))
     assert int(s_b.num_voxels) >= int(s_a.num_voxels) > 0
+
+
+def test_all_invalid_frames_are_noop():
+    """Zero-depth frames (the flush padding) must not touch the store."""
+    cfg = small_test_config()
+    H, W = cfg.sensor.height, cfg.sensor.width
+    rgb = np.zeros((2, H, W, 3), np.uint8)
+    depth = np.zeros((2, H, W), np.float32)     # all below min_depth
+    poses = np.zeros((2, 7), np.float32)
+    poses[:, 6] = 1.0
+    state = init_store(cfg.memory)
+    s2, stats = ing.ingest_frames(
+        state, jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(poses),
+        jnp.asarray(np.zeros((2, 2, 2, cfg.memory.token_dim), np.float32)),
+        jax.random.PRNGKey(0), cfg)
+    assert int(s2.num_voxels) == 0
+    assert int(stats["points_valid"]) == 0
+    assert (np.asarray(s2.feat_count) == 0).all()
+    # but the frame chain is initialized (first batch defines the origin)
+    assert bool(s2.initialized)
+
+
+def test_capacity_exactly_full_boundary():
+    """Filling the store to exactly capacity: no overflow, drops counted
+    only past the boundary."""
+    cfg = small_test_config()
+    mem = cfg.memory.__class__(
+        grid_size=64, floor_height=-3.2, map_height=3.2, token_dim=32,
+        cache_size=4, voxel_capacity=64, depth_sample_rate=8)
+    cfg = cfg.replace(memory=mem)
+    rgb, depth, poses, tokens = make_frames(cfg, 3, seed=4)
+    state = init_store(cfg.memory)
+    s2, stats = ing.ingest_frames(
+        state, jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(poses),
+        jnp.asarray(tokens), jax.random.PRNGKey(1), cfg)
+    n, dropped = int(s2.num_voxels), int(s2.dropped_voxels)
+    assert n <= 64
+    if dropped > 0:
+        assert n == 64          # capacity saturated before any drop
+    # every live slot has valid grid coordinates
+    pos = np.asarray(s2.slot_pos)[:n]
+    assert (pos >= 0).all()
+    assert (pos[:, :2] < 64).all()
