@@ -9,6 +9,8 @@ memory_2.py:555-559).  This is the T5 v1.1 encoder stack in JAX:
   - gated-GELU feed-forward (wi_0 * gelu, wi_1 linear),
   - no scaling inside attention (T5 folds 1/sqrt(d) into init).
 
+Text -> ids lives in `models/sentencepiece.py` (pure-Python unigram
+tokenizer; use `tokenize_t5(SentencePieceUnigram.from_file(spiece), ..)`).
 Converter maps the HuggingFace t5 encoder state-dict layout; parity is
 tested against transformers' torch implementation with random weights.
 """
