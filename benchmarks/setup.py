@@ -182,7 +182,8 @@ def build_world(args, task: str = "objnav"
             ep.extrinsic_attributes = "in the corner of the room"
     bench = FakeBenchmarkEnv(
         cfg, episodes, scene=scene, seed=args.seed,
-        success_distance=args.success_distance or 1.5)
+        success_distance=args.success_distance or 1.5,
+        topdown="vlnce" if task == "vlnce" else "fog")
 
     vit_cfg = vit.ViTConfig(img_size=56, patch_size=14, dim=32, depth=2,
                             heads=2, num_registers=1)

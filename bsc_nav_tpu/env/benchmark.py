@@ -65,7 +65,8 @@ class FakeBenchmarkEnv:
 
     def __init__(self, cfg, episodes: List[Episode],
                  scene: Optional[BoxScene] = None,
-                 success_distance: float = 1.0, seed: int = 0):
+                 success_distance: float = 1.0, seed: int = 0,
+                 topdown: str = "fog"):
         self.cfg = cfg
         self.episodes = episodes
         self.success_distance = success_distance
@@ -78,7 +79,16 @@ class FakeBenchmarkEnv:
         self._called_stop = False
         self._min_dist = float("inf")
         self._len_at_min = 0.0
-        self.top_down_map = TopDownMapMeasure(self._env)
+        self.topdown_kind = topdown
+        if topdown == "vlnce":
+            # connectivity-graph measure (reference vlnce_maps.py:382-614)
+            from bsc_nav_tpu.env.vlnce_maps import (
+                TopDownMapVLNCE, sample_connectivity_graph)
+            pf = self._env.pathfinder
+            self.top_down_map = TopDownMapVLNCE(
+                pf, graph=sample_connectivity_graph(pf))
+        else:
+            self.top_down_map = TopDownMapMeasure(self._env)
 
     # --- episode control ---------------------------------------------------
     @property
@@ -105,14 +115,24 @@ class FakeBenchmarkEnv:
             (self._env.pathfinder.geodesic_distance(
                 ep.start_position, g) for g in ep.goal_positions),
             default=float("inf"))
-        self.top_down_map.reset()
-        self.top_down_map.update()
+        if self.topdown_kind == "vlnce":
+            goal = (ep.goal_positions[0] if ep.goal_positions
+                    else ep.start_position)
+            self.top_down_map.reset(ep.start_position, goal,
+                                    start_yaw=ep.start_yaw)
+            self.top_down_map.update(self._env.position, self._env.yaw)
+        else:
+            self.top_down_map.reset()
+            self.top_down_map.update()
         return self._env.sims.get_sensor_observations(0)
 
     def step(self, action: str):
         prev = self._env.position.copy()
         obs = self._env.step(action)
-        self.top_down_map.update()
+        if self.topdown_kind == "vlnce":
+            self.top_down_map.update(self._env.position, self._env.yaw)
+        else:
+            self.top_down_map.update()
         moved = float(np.linalg.norm(self._env.position - prev))
         self._path_length += moved
         if moved > 0:
@@ -151,8 +171,10 @@ class FakeBenchmarkEnv:
             "oracle_spl": ospl,
             "distance_to_goal": d,
             "path_length": self._path_length,
-            "top_down_map": self.top_down_map.render(
-                self.current_episode.goal_positions),
+            "top_down_map": (
+                self.top_down_map.render() if self.topdown_kind == "vlnce"
+                else self.top_down_map.render(
+                    self.current_episode.goal_positions)),
         }
 
 
