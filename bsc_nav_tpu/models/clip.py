@@ -41,6 +41,9 @@ class CLIPConfig:
     text_heads: int = 16
     text_layers: int = 24
     ln_eps: float = 1e-5
+    # tanh-approx GELU (see models/vit.py ViTConfig.gelu_exact: drift is
+    # below bf16 noise; erf is VPU-bound on TPU)
+    gelu_exact: bool = False
 
     @property
     def grid(self) -> int:
@@ -109,7 +112,8 @@ def init_params(cfg: CLIPConfig, key, dtype=jnp.float32) -> Dict[str, Any]:
     }
 
 
-def _tower_forward(x, blocks, heads, eps, causal=False):
+def _tower_forward(x, blocks, heads, eps, causal=False,
+                   gelu_exact=False):
     B, S, D = x.shape
     hd = D // heads
     for blk in blocks:
@@ -121,7 +125,8 @@ def _tower_forward(x, blocks, heads, eps, causal=False):
         x = x + _linear(att, blk["proj"])
         y = layer_norm(x, blk["ln2"], eps)
         x = x + _linear(jax.nn.gelu(_linear(y, blk["fc1"]),
-                                    approximate=False), blk["fc2"])
+                                    approximate=not gelu_exact),
+                        blk["fc2"])
     return x
 
 
@@ -136,7 +141,8 @@ def encode_image(params: Dict[str, Any], images: jnp.ndarray,
     ).astype(x.dtype)
     x = jnp.concatenate([cls, x], axis=1) + v["pos_embed"][None].astype(x.dtype)
     x = layer_norm(x, v["ln_pre"], cfg.ln_eps)
-    x = _tower_forward(x, v["blocks"], cfg.vision_heads, cfg.ln_eps)
+    x = _tower_forward(x, v["blocks"], cfg.vision_heads, cfg.ln_eps,
+                       gelu_exact=cfg.gelu_exact)
     x = layer_norm(x[:, 0], v["ln_post"], cfg.ln_eps)
     feats = jnp.einsum("bd,de->be", x, v["proj"],
                        preferred_element_type=jnp.float32)
@@ -154,7 +160,7 @@ def encode_text(params: Dict[str, Any], token_ids: jnp.ndarray,
     t = params["text"]
     x = t["token_embedding"][token_ids] + t["pos_embed"][None]
     x = _tower_forward(x, t["blocks"], cfg.text_heads, cfg.ln_eps,
-                       causal=True)
+                       causal=True, gelu_exact=cfg.gelu_exact)
     x = layer_norm(x, t["ln_final"], cfg.ln_eps)
     eot = jnp.argmax(token_ids, axis=-1)
     pooled = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]

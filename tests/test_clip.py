@@ -28,7 +28,7 @@ class TorchBlock(nn.Module):
         self.ln_2 = nn.LayerNorm(d, eps=1e-5)
         self.mlp = nn.Sequential()
         self.mlp.add_module("c_fc", nn.Linear(d, 4 * d))
-        self.mlp.add_module("gelu", nn.GELU())
+        self.mlp.add_module("gelu", nn.GELU(approximate="tanh"))
         self.mlp.add_module("c_proj", nn.Linear(4 * d, d))
 
     def forward(self, x, attn_mask=None):

