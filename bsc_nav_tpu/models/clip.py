@@ -22,7 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from bsc_nav_tpu.models.vit import layer_norm, _linear, patchify
-from bsc_nav_tpu.ops.flash_attention import attention
+from bsc_nav_tpu.ops.flash_attention import (
+    attention, attention_from_qkv)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -118,10 +119,8 @@ def _tower_forward(x, blocks, heads, eps, causal=False,
     hd = D // heads
     for blk in blocks:
         y = layer_norm(x, blk["ln1"], eps)
-        qkv = _linear(y, blk["qkv"]).reshape(B, S, 3, heads, hd)
-        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
-        att = attention(q, k, v, causal=causal)
-        att = att.transpose(0, 2, 1, 3).reshape(B, S, D)
+        att = attention_from_qkv(_linear(y, blk["qkv"]), heads=heads,
+                                 causal=causal)
         x = x + _linear(att, blk["proj"])
         y = layer_norm(x, blk["ln2"], eps)
         x = x + _linear(jax.nn.gelu(_linear(y, blk["fc1"]),

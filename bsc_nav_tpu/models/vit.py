@@ -23,7 +23,8 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from bsc_nav_tpu.ops.flash_attention import attention
+from bsc_nav_tpu.ops.flash_attention import (
+    attention, attention_from_qkv)
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -172,10 +173,9 @@ def _block(x, blk, cfg: ViTConfig):
     h, hd = cfg.heads, cfg.head_dim
 
     y = layer_norm(x, blk["ln1"], cfg.ln_eps)
-    qkv = _linear(y, blk["qkv"]).reshape(B, S, 3, h, hd)
-    q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
-    att = attention(q, k, v)                            # [B, h, S, hd]
-    att = att.transpose(0, 2, 1, 3).reshape(B, S, D)
+    # fused qkv -> attention without head transposes where the Pallas
+    # kernel applies (TPU, S <= 640, head_dim 64); else split/transpose
+    att = attention_from_qkv(_linear(y, blk["qkv"]), heads=h)  # [B, S, D]
     att = _linear(att, blk["proj"])
     if "ls1" in blk:
         att = att * blk["ls1"].astype(att.dtype)

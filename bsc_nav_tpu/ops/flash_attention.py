@@ -157,6 +157,32 @@ def attention(q, k, v, causal: bool = False):
     return reference_attention(q, k, v, causal=causal)
 
 
+def use_fused_qkv_attention(seq_len: int, heads: int, head_dim: int,
+                            causal: bool = False) -> bool:
+    """True when `attention_from_qkv` should take the fused-QKV kernel:
+    TPU, non-causal, sequence fits VMEM, and head pairs fill a 128-lane
+    block exactly (head_dim 64, even head count)."""
+    return (jax.default_backend() == "tpu" and not causal
+            and seq_len <= _SHORT_MAX_KV
+            and head_dim == 64 and heads % 2 == 0)
+
+
+def attention_from_qkv(qkv, heads: int, causal: bool = False):
+    """Attention straight from the fused qkv projection [B, S, 3*D] ->
+    [B, S, D].  Dispatches to the transpose-free Pallas kernel when
+    `use_fused_qkv_attention` allows, else falls back to the standard
+    split/transpose path through `attention`."""
+    B, S, threeD = qkv.shape
+    D = threeD // 3
+    hd = D // heads
+    if use_fused_qkv_attention(S, heads, hd, causal):
+        return short_attention_qkv(qkv, heads=heads)
+    q, k, v = (qkv.reshape(B, S, 3, heads, hd)[:, :, i].transpose(0, 2, 1, 3)
+               for i in range(3))
+    att = attention(q, k, v, causal=causal)
+    return att.transpose(0, 2, 1, 3).reshape(B, S, D)
+
+
 # ---------------------------------------------------------------------------
 # short-sequence kernel: the whole sequence fits VMEM, so attention runs
 # in ONE shot per (batch, head) -- no online-softmax blocking and, unlike
@@ -215,3 +241,66 @@ def short_attention(q, k, v, causal: bool = False,
         interpret=interpret,
     )(qp, kp, vp)
     return out[:, :Sq].reshape(B, H, Sq, Dh)
+
+
+# ---------------------------------------------------------------------------
+# fused-QKV attention: reads head column-blocks STRAIGHT from the fused
+# qkv projection output [B, S, 3*D] and writes [B, S, D] -- no
+# [B, S, 3, h, hd] reshape, no head transposes, no separate q/k/v
+# buffers.  At ViT-L b32 the transposes alone move ~2.4 GB/24 layers.
+# Two heads per grid step so VMEM blocks stay 128 lanes wide.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("heads", "interpret"))
+def short_attention_qkv(qkv, heads: int, interpret: bool = False):
+    """qkv: [B, S, 3*D] fused projection output (q | k | v column groups,
+    each D wide, heads laid out contiguously inside each group).
+    Returns attention output [B, S, D].  S must fit VMEM (<= ~640)."""
+    B, S, threeD = qkv.shape
+    D = threeD // 3
+    hd = D // heads
+    assert heads % 2 == 0 and hd <= 64, (heads, hd)
+    scale = 1.0 / math.sqrt(hd)
+    S_p = ((S + 15) // 16) * 16                          # bf16 sublane tile
+    qkv_p = _pad_to(qkv, 16, axis=1) if S_p != S else qkv
+    W = 2 * hd                                           # 128-lane block
+
+    def col_spec(group):
+        # block (1, S_p, W) at columns group*D + pair*W
+        return pl.BlockSpec(
+            (1, S_p, W), lambda b, p, g=group: (b, 0, (g * D) // W + p),
+            memory_space=pltpu.VMEM)
+
+    grid = (B, heads // 2)
+    # a single input spec would need stride-D gathers; instead pass the
+    # same array three times with per-group column indexing
+    out = pl.pallas_call(
+        functools.partial(_qkv_kernel_3in, kv_len=S, hd=hd, scale=scale),
+        grid=grid,
+        in_specs=[col_spec(0), col_spec(1), col_spec(2)],
+        out_specs=pl.BlockSpec((1, S_p, W), lambda b, p: (b, 0, p),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, S_p, D), qkv.dtype),
+        interpret=interpret,
+    )(qkv_p, qkv_p, qkv_p)
+    return out[:, :S]
+
+
+def _qkv_kernel_3in(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, hd: int,
+                    scale: float):
+    qb = q_ref[0].astype(jnp.float32)                   # [S_p, 2*hd]
+    kb = k_ref[0].astype(jnp.float32)
+    vb = v_ref[0].astype(jnp.float32)
+    outs = []
+    for h in range(2):
+        q = qb[:, h * hd:(h + 1) * hd] * scale
+        k = kb[:, h * hd:(h + 1) * hd]
+        v = vb[:, h * hd:(h + 1) * hd]
+        logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(k_pos < kv_len, logits, _NEG_INF)
+        m = jnp.max(logits, axis=1, keepdims=True)
+        p = jnp.exp(logits - m)
+        out = jnp.dot(p, v, preferred_element_type=jnp.float32)
+        outs.append(out / jnp.sum(p, axis=1, keepdims=True))
+    o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)

@@ -90,3 +90,46 @@ def test_short_attention_matches_reference():
     exp_c = reference_attention(q, k, v, causal=True)
     np.testing.assert_allclose(np.asarray(out_c), np.asarray(exp_c),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_short_attention_qkv_matches_reference():
+    """Fused-QKV kernel (interpret mode) == split/transpose reference."""
+    from bsc_nav_tpu.ops.flash_attention import (
+        reference_attention, short_attention_qkv)
+    B, S, h, hd = 2, 37, 4, 32
+    D = h * hd
+    rng = np.random.default_rng(7)
+    qkv = jnp.asarray(rng.normal(size=(B, S, 3 * D)).astype(np.float32))
+    out = short_attention_qkv(qkv, heads=h, interpret=True)
+    q, k, v = (qkv.reshape(B, S, 3, h, hd)[:, :, i].transpose(0, 2, 1, 3)
+               for i in range(3))
+    ref = reference_attention(q, k, v).transpose(0, 2, 1, 3).reshape(B, S, D)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_attention_from_qkv_fallback_path():
+    """Off-TPU the wrapper takes the split/transpose path and matches."""
+    from bsc_nav_tpu.ops.flash_attention import (
+        attention_from_qkv, reference_attention)
+    B, S, h, hd = 2, 19, 3, 24            # odd heads: never the kernel
+    D = h * hd
+    rng = np.random.default_rng(8)
+    qkv = jnp.asarray(rng.normal(size=(B, S, 3 * D)).astype(np.float32))
+    out = attention_from_qkv(qkv, heads=h)
+    q, k, v = (qkv.reshape(B, S, 3, h, hd)[:, :, i].transpose(0, 2, 1, 3)
+               for i in range(3))
+    ref = reference_attention(q, k, v).transpose(0, 2, 1, 3).reshape(B, S, D)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_use_fused_qkv_gate():
+    from bsc_nav_tpu.ops.flash_attention import use_fused_qkv_attention
+    import jax as _jax
+    on_tpu = _jax.default_backend() == "tpu"
+    assert use_fused_qkv_attention(261, 16, 64) == on_tpu
+    assert not use_fused_qkv_attention(261, 16, 64, causal=True)
+    assert not use_fused_qkv_attention(2048, 16, 64)
+    assert not use_fused_qkv_attention(261, 15, 64)
+    assert not use_fused_qkv_attention(261, 16, 80)
