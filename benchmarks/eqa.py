@@ -49,16 +49,26 @@ def main(argv=None):
 
         m = bench.get_metrics()
         island, area = S.island_stats(bench)
+        # EQA success = answer accuracy (reference EQA_benchmark.py keys
+        # results on the answer, not nav success); ground truth known in
+        # the fake world
+        truth = None
+        correct = None
+        if args.env == "fake" and ep.object_category in S.FAKE_COLOR_NAMES:
+            truth = S.FAKE_COLOR_NAMES[ep.object_category]
+            correct = float(truth.lower() in (answer or "").lower())
         C.write_metrics({
             "success": m["success"], "spl": m["spl"],
             "Ospl": m["oracle_spl"],
             "distance_to_goal": m["distance_to_goal"],
+            **({"answer_correct": correct} if correct is not None else {}),
             "id": ep.scene_id, "island": island, "island_area": area,
             **C.nav_telemetry(robot),
         }, csv_path)
 
         results.append({"question_id": qid, "question": question,
-                        "answer_4o": answer})
+                        "answer_4o": answer,
+                        **({"ground_truth": truth} if truth else {})})
         with open(args.results_json, "w") as f:
             json.dump(results, f, indent=2)
     return results

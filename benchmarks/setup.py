@@ -38,6 +38,15 @@ FAKE_PROTOTYPES = {
     "table": (150, 90, 40),
 }
 
+# human color names for the fake objects (EQA ground truth + oracle)
+FAKE_COLOR_NAMES = {
+    "bed": "red",
+    "plant": "green",
+    "sofa": "blue",
+    "tv monitor": "yellow",
+    "table": "brown",
+}
+
 
 def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--env", choices=["fake", "habitat"], default="fake")
@@ -108,6 +117,20 @@ def make_llm(args, bench=None):
             return "Success: no\ntoo far"
         return "Success: yes\nneed forward: no"
 
+    def _oracle_answer(t):
+        # fake-world EQA oracle: answer color questions from the scene's
+        # true object colors (a real VLM reads them off the image), BUT
+        # only when the agent actually got near the object -- otherwise
+        # an honest "I cannot see it" (so accuracy tracks navigation)
+        m = _re.search(r"[Ww]hat color is the ([a-z ]+?)\?", t)
+        if m and m.group(1) in FAKE_COLOR_NAMES:
+            if bench is not None:
+                d = bench.get_metrics()["distance_to_goal"]
+                if d > getattr(bench, "success_distance", 1.5) + 1.0:
+                    return "I cannot see it from here."
+            return f"It is {FAKE_COLOR_NAMES[m.group(1)]}."
+        return "mock answer"
+
     return L.MockLLMClient(responders=[
         (lambda t: "Judge whether" in t or "Compare the goal image" in t,
          _oracle_judge),
@@ -121,8 +144,11 @@ def make_llm(args, bench=None):
                     ).group(1) if _re.search(
                         r"Instruction: ([a-zA-Z ]+)", t) else "a bed"),
         (lambda t: "navigates to the relevant instance" in t,
-         lambda t: "Now, we need to go to {a bed}"),
-        (lambda t: "Answer the question" in t, lambda t: "mock answer"),
+         lambda t: "Now, we need to go to {a %s}" % (
+             (_re.search(r"[Ww]hat color is the ([a-z ]+?)\?", t)
+              or _re.search(r"Question:.*?the ([a-z ]+?)\?", t)
+              or _re.search(r"(bed)", "bed")).group(1))),
+        (lambda t: "Answer the question" in t, _oracle_answer),
     ])
 
 

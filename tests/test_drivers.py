@@ -58,7 +58,9 @@ def test_eqa_driver(tmp_path):
             "--log-root", str(tmp_path / "tmp")]
     results = run_in(tmp_path, eqa.main, argv)
     assert len(results) == 1
-    assert results[0]["answer_4o"] == "mock answer"
+    # oracle answerer: grounded color answer (or honest can't-see)
+    assert results[0]["answer_4o"] in (
+        f"It is {results[0].get('ground_truth')}.", "I cannot see it from here.")
     saved = json.load(open(tmp_path / "eqa.json"))
     assert saved[0]["question_id"] == results[0]["question_id"]
 
