@@ -12,6 +12,13 @@ division and empty-slot masking; block pipelining streams the token
 slab through VMEM.  The jnp composition is equivalent and serves CPU,
 int8 stores (the int8->bf16 convert fuses into the XLA matmul read) and
 unaligned capacities.
+
+Measured (v5e, 2.62M rows x 1024): kernel 17.3 ms, XLA 16.0 ms (int8);
+19.6 vs 18.6 ms (bf16) -- both are matvec-limited (a [VK,D]x[D] product
+uses one MXU column), so the scan is at its practical single-query
+ceiling; larger kernel blocks don't help (and R>=4096 hits a Mosaic
+reshape limit).  Batching query vectors [D,Q] would amortize the HBM
+read Q-fold if a multi-query call site ever appears.
 """
 
 from __future__ import annotations
