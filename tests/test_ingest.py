@@ -307,3 +307,28 @@ def test_capacity_exactly_full_boundary():
     pos = np.asarray(s2.slot_pos)[:n]
     assert (pos >= 0).all()
     assert (pos[:, :2] < 64).all()
+
+
+def test_nonfinite_depth_is_excluded_and_store_stays_finite():
+    """Habitat depth sensors emit inf (no-hit) and can emit NaN: such
+    pixels must be excluded by the range mask and no NaN may leak into
+    any store array through the where-guarded scatters."""
+    cfg = small_test_config()
+    rgb, depth, poses, tokens = make_frames(cfg, 2, seed=11)
+    depth = depth.copy()
+    depth[0, ::3, ::3] = np.inf
+    depth[0, 1::3, 1::3] = np.nan
+    depth[1, :8, :8] = -np.inf
+    state = init_store(cfg.memory)
+    state, stats = ing.ingest_frames(
+        state, jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(poses),
+        jnp.asarray(tokens), jax.random.PRNGKey(0), cfg)
+    for name in ("feats", "feat_norm", "rgb_sum", "weight"):
+        arr = np.asarray(getattr(state, name), np.float32)
+        assert np.isfinite(arr).all(), f"{name} contains non-finite values"
+    assert int(state.num_voxels) > 0            # finite pixels still ingested
+    # all assigned slot positions are inside the grid
+    n = int(state.num_voxels)
+    pos = np.asarray(state.slot_pos[:n])
+    G = cfg.memory.grid_size
+    assert (pos[:, :2] >= 0).all() and (pos[:, :2] < G).all()
