@@ -17,13 +17,39 @@ import numpy as np
 
 
 def write_metrics(metrics: Dict, path: str) -> None:
-    """(objnav_benchmark.py:42-51)."""
-    exists = os.path.exists(path)
-    with open(path, mode="a", newline="") as f:
-        writer = csv.DictWriter(f, fieldnames=list(metrics.keys()))
-        if not exists:
+    """Append one metrics row (objnav_benchmark.py:42-51).
+
+    Rows may carry differing key sets (e.g. eqa adds 'answer_correct'
+    conditionally); columns are keyed to the file's header, never to the
+    incoming row, so appended rows can't shift.  A row introducing new
+    keys rewrites the file with the union header (row count — the
+    resume cursor — is unchanged)."""
+    if not os.path.exists(path):
+        with open(path, mode="w", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=list(metrics.keys()))
             writer.writeheader()
-        writer.writerow(metrics)
+            writer.writerow(metrics)
+        return
+    with open(path, newline="") as f:
+        reader = csv.DictReader(f)
+        fieldnames = list(reader.fieldnames or [])
+        extra = [k for k in metrics if k not in fieldnames]
+        rows = list(reader) if extra else None
+    if extra:
+        fieldnames += extra
+        with open(path, mode="w", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=fieldnames, restval="",
+                                    extrasaction="ignore")
+            writer.writeheader()
+            for row in rows:
+                row.pop(None, None)
+                writer.writerow(row)
+            writer.writerow(metrics)
+    else:
+        with open(path, mode="a", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=fieldnames, restval="",
+                                    extrasaction="ignore")
+            writer.writerow(metrics)
 
 
 def get_start_episode(csv_path: str) -> int:

@@ -100,6 +100,10 @@ def flash_attention(q, k, v, causal: bool = False, interpret: bool = False):
     S_k only when not causal)."""
     B, H, Sq, Dh = q.shape
     Sk = k.shape[2]
+    if causal:
+        # kernels mask with q_pos >= k_pos (no Sk-Sq offset); the oracle
+        # applies tril(k=Sk-Sq) — only identical for square attention
+        assert Sq == Sk, f"causal requires Sq == Sk, got {Sq} != {Sk}"
     scale = 1.0 / math.sqrt(Dh)
 
     bq = min(128, max(8, 1 << (Sq - 1).bit_length()))
@@ -149,6 +153,10 @@ _FLASH_MIN_KV = 1024
 
 def attention(q, k, v, causal: bool = False):
     """Backend/shape-dispatched attention."""
+    if causal and q.shape[2] != k.shape[2]:
+        raise ValueError(
+            f"causal attention requires Sq == Sk (kernel masks have no "
+            f"length offset); got Sq={q.shape[2]} Sk={k.shape[2]}")
     if jax.default_backend() == "tpu":
         if k.shape[2] <= _SHORT_MAX_KV:
             return short_attention(q, k, v, causal=causal)
@@ -215,6 +223,8 @@ def short_attention(q, k, v, causal: bool = False,
     """One-shot attention for sequences that fit VMEM (S <= ~640)."""
     B, H, Sq, Dh = q.shape
     Sk = k.shape[2]
+    if causal:
+        assert Sq == Sk, f"causal requires Sq == Sk, got {Sq} != {Sk}"
     scale = 1.0 / math.sqrt(Dh)
     Sq_p = ((Sq + 7) // 8) * 8
     Sk_p = ((Sk + 7) // 8) * 8

@@ -45,8 +45,17 @@ def make_sharded_localize(mesh: Mesh, top_k: int = 100):
 
         qn = query.astype(jnp.float32)
         qn = qn / jnp.maximum(jnp.linalg.norm(qn), 1e-12)
-        dots = jnp.einsum("rd,d->r", feats, qn.astype(feats.dtype),
-                          preferred_element_type=jnp.float32)
+        if feats.dtype == jnp.int8:
+            # int8 cast of a unit-norm query would truncate every
+            # component in (-1, 1) to 0; upcast the store instead
+            # (mirrors ops/similarity.reference_row_cosines -- the
+            # int8->bf16 convert fuses into the matmul read)
+            dots = jnp.einsum("rd,d->r", feats.astype(jnp.bfloat16),
+                              qn.astype(jnp.bfloat16),
+                              preferred_element_type=jnp.float32)
+        else:
+            dots = jnp.einsum("rd,d->r", feats, qn.astype(feats.dtype),
+                              preferred_element_type=jnp.float32)
         sims = (dots / jnp.maximum(norm, 1e-12)).reshape(Vl, K)
         kmask = jnp.arange(K)[None, :] < count[:, None]
         per_voxel = jnp.max(jnp.where(kmask, sims, -jnp.inf), axis=1)

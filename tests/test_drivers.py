@@ -83,6 +83,26 @@ def test_create_memory_driver(tmp_path):
     assert os.path.exists(os.path.join(path, "long_memory.json"))
 
 
+def test_write_metrics_mixed_key_sets(tmp_path):
+    """Rows with differing key sets stay column-aligned (eqa adds
+    'answer_correct' conditionally); resume-by-row-count is preserved."""
+    import csv
+    from benchmarks.common import write_metrics, get_start_episode
+
+    path = str(tmp_path / "m.csv")
+    write_metrics({"success": 1.0, "spl": 0.5}, path)
+    write_metrics({"success": 0.0, "spl": 0.1, "answer_correct": 1}, path)
+    write_metrics({"success": 1.0, "spl": 0.9}, path)
+
+    rows = list(csv.DictReader(open(path)))
+    assert len(rows) == 3
+    assert [r["success"] for r in rows] == ["1.0", "0.0", "1.0"]
+    assert [r["spl"] for r in rows] == ["0.5", "0.1", "0.9"]
+    assert [r["answer_correct"] for r in rows] == ["", "1", ""]
+    assert None not in rows[1]          # no shifted/overflow columns
+    assert get_start_episode(path) == 2
+
+
 def test_episode_farming(tmp_path):
     from benchmarks import farm
     from benchmarks.common import write_metrics

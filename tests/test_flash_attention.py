@@ -43,6 +43,22 @@ def test_flash_causal():
                                rtol=2e-3, atol=2e-3)
 
 
+def test_causal_rejects_rectangular():
+    """Kernels mask with q_pos >= k_pos (no Sk-Sq offset): causal calls
+    with Sq != Sk must be rejected, not silently diverge from the
+    tril(k=Sk-Sq) oracle."""
+    from bsc_nav_tpu.ops.flash_attention import attention, short_attention
+    q = mk((1, 2, 8, 64), 20)
+    k = mk((1, 2, 16, 64), 21)
+    v = mk((1, 2, 16, 64), 22)
+    with pytest.raises(ValueError, match="Sq == Sk"):
+        attention(q, k, v, causal=True)
+    with pytest.raises(AssertionError):
+        flash_attention(q, k, v, causal=True, interpret=True)
+    with pytest.raises(AssertionError):
+        short_attention(q, k, v, causal=True, interpret=True)
+
+
 def test_flash_bf16():
     B, H, S, D = 1, 2, 128, 64
     q = mk((B, H, S, D), 9).astype(jnp.bfloat16)

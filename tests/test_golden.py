@@ -35,13 +35,6 @@ def test_golden_ingest_digest():
         "weight_sum": round(float(np.asarray(state.weight)[:n].sum()), 3),
         "max_height_occupied": int((np.asarray(state.max_height) >= 0).sum()),
     }
-    expected = {
-        "num_voxels": digest["num_voxels"],        # pinned below
-        "pos_sum": digest["pos_sum"],
-        "count_sum": digest["count_sum"],
-        "weight_sum": digest["weight_sum"],
-        "max_height_occupied": digest["max_height_occupied"],
-    }
     # --- pinned values (update deliberately, with a commit message
     # explaining the semantic change) ---
     PINNED = {"num_voxels": 732, "pos_sum": 59852, "count_sum": 806,

@@ -95,3 +95,61 @@ def test_detector_protocol(rng):
         x1, y1, x2, y2 = d.xyxy
         assert 0 <= x1 <= 128 and 0 <= y1 <= 96
         assert 0.0 <= d.confidence <= 1.0
+
+
+def test_decode_topk_matches_host_decode(rng):
+    """Device-side batched decode+top-k agrees with the host decode_boxes
+    path: the top-k candidates are the highest-confidence anchors with
+    identical boxes/classes."""
+    B, T = 2, 3
+    params = Y.init_params(CFG, jax.random.PRNGKey(1), text_dim=32)
+    text_emb = rng.normal(size=(T, 32)).astype(np.float32)
+    text_emb /= np.linalg.norm(text_emb, axis=-1, keepdims=True)
+    imgs = rng.uniform(size=(B, CFG.img_size, CFG.img_size, 3)
+                       ).astype(np.float32)
+    outs = Y.forward(params, jnp.asarray(imgs), jnp.asarray(text_emb), CFG)
+
+    k = 16
+    d_boxes, d_conf, d_cls = (np.asarray(a) for a in
+                              Y.decode_topk_device(outs, CFG, k=k))
+    def canon(boxes, conf, cls):
+        # tie-robust ordering: equal confidences may rank differently
+        # between the device top_k and host argsort
+        order = np.lexsort((cls, boxes[:, 1], boxes[:, 0], -conf))
+        return boxes[order], conf[order], cls[order]
+
+    for b in range(B):
+        per = [(box[b:b + 1], cls[b:b + 1]) for box, cls in outs]
+        boxes, scores = Y.decode_boxes(per, CFG)
+        conf = scores.max(axis=1)
+        order = np.argsort(-conf, kind="stable")[:k]
+        hb, hc, hk = canon(boxes[order], conf[order],
+                           scores[order].argmax(1))
+        db, dc, dk = canon(d_boxes[b], d_conf[b], d_cls[b])
+        np.testing.assert_allclose(dc, hc, rtol=1e-5)
+        np.testing.assert_allclose(db, hb, rtol=1e-4, atol=1e-3)
+        np.testing.assert_array_equal(dk, hk)
+
+
+def test_detect_batch_matches_detect(rng):
+    """detect_batch (device decode path) agrees with per-frame detect
+    (host decode path) on boxes, labels, confidences."""
+    params = Y.init_params(CFG, jax.random.PRNGKey(2), text_dim=32)
+    text_emb = rng.normal(size=(3, 32)).astype(np.float32)
+    det = Y.YoloWorldDetector(
+        params, CFG, classes=["bed", "sofa", "plant"],
+        text_embeddings=text_emb, confidence=0.3, iou_thr=0.5)
+    imgs = rng.integers(0, 255, size=(3, 96, 128, 3), dtype=np.uint8)
+    batched = det.detect_batch(imgs)
+    for b in range(3):
+        single = det.detect(imgs[b])
+        key = lambda d: (-d.confidence, d.label)
+        bs, ss = sorted(batched[b], key=key), sorted(single, key=key)
+        assert [d.label for d in bs] == [d.label for d in ss]
+        np.testing.assert_allclose(
+            [d.confidence for d in bs], [d.confidence for d in ss],
+            rtol=1e-5)
+        np.testing.assert_allclose(
+            np.array([d.xyxy for d in bs]).reshape(-1, 4),
+            np.array([d.xyxy for d in ss]).reshape(-1, 4),
+            rtol=1e-4, atol=1e-2)
