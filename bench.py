@@ -1,22 +1,33 @@
-"""Headline benchmark: memory-build throughput at the reference workload.
+"""Headline benchmark: the FULL reference build + query workloads.
 
 Workload definition (BASELINE.md "perf-relevant reference constants"):
-  680x680 RGB-D frames, DINOv2 ViT-L/14-reg patch encoder @224 (random
-  bf16 weights -- identical FLOPs to the real checkpoint), ~462
-  backprojected points/frame (depth_sample_rate 1000), voxel grid
-  1000^2 x 200 @ 0.1 m, <=10 tokens/voxel.
+  680x680 RGB-D frames; per frame the reference build loop runs BOTH the
+  DINOv2 ViT-L/14-reg patch encoder @224 into the voxel token store
+  (memory_2.py:842-903) AND YOLO-World v8x detection @640 into long-term
+  instance memory (memory_2.py:905-945).  Queries: image-goal localize
+  (memory_2.py:563-671) and the text path, which first "imagines" 3
+  512^2 images with SD3.5-medium (28 steps, cfg 7.0, memory_2.py:258-276)
+  before localizing.
 
-Reference baseline: the A100 reference path executes DINOv2 forward +
-a per-point Python loop + chunked HDF5 writes per frame
-(memory_2.py:842-903, :326-358).  Its wall clock is printed but not
-recorded in the repo (BASELINE.md); we use a deliberately GENEROUS
-estimate of 10 frames/sec for the A100 reference (DINOv2 ViT-L fp32
-forward alone is ~25 ms/frame unbatched; the Python voxel loop and HDF5
-flushes come on top), so vs_baseline = fps / 10.0 understates the gain.
+All model weights are random-init at the REAL architectures' shapes --
+identical FLOPs/bytes to converted checkpoints.
 
-Prints ONE JSON line:
-  {"metric": "memory_build_frames_per_sec", "value": N, "unit": "frames/s",
-   "vs_baseline": N/10, ...}
+Metrics (one JSON line on stdout; everything else stderr):
+  memory_build_frames_per_sec   headline: encoder + ingest + detector
+                                (device decode/top-k) + host NMS +
+                                long-term integration, double-buffered
+  encode_ingest_frames_per_sec  encoder + voxel ingest only (round-1
+                                comparable number)
+  query_localize_p50_ms         image-goal query (3 provided images)
+  text_query_e2e_ms             CLIP text encode -> MMDiT 28-step CFG
+                                sampling 3x512^2 -> VAE decode -> DINOv2
+                                encode -> localize, end to end
+
+Reference baseline: A100 wall clock unrecorded in the reference repo
+(BASELINE.md); we use a deliberately GENEROUS estimate of 10 frames/sec
+for the full A100 build loop (DINOv2 fp32 forward ~25 ms/frame unbatched
++ YOLO-World + per-point Python voxel loop + chunked HDF5 flushes), so
+vs_baseline = fps / 10.0 understates the gain.
 """
 
 import json
@@ -33,6 +44,12 @@ import numpy as np
 
 REFERENCE_A100_FPS_ESTIMATE = 10.0
 
+DETECT_CLASSES = [
+    "bed", "sofa", "chair", "table", "plant", "tv", "toilet", "sink",
+    "refrigerator", "oven", "microwave", "lamp", "cabinet", "counter",
+    "shelf", "mirror", "picture", "curtain", "pillow", "towel",
+]
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -42,6 +59,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # the axon TPU plugin ignores JAX_PLATFORMS; honor it via the config
+    # API so CPU dev runs (JAX_PLATFORMS=cpu) actually stay off the TPU
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     # persistent compile cache: the big pipelines take minutes to compile
     # cold; cached runs start in seconds
     jax.config.update("jax_compilation_cache_dir",
@@ -49,19 +71,29 @@ def main():
                                      "/tmp/bsc_nav_jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
+    from bsc_nav_tpu import geometry as G
     from bsc_nav_tpu.config import Config, MemoryConfig
+    from bsc_nav_tpu.memory import longterm as LT
     from bsc_nav_tpu.memory.pipeline import make_build_step, make_query_step
     from bsc_nav_tpu.memory.store import init_store, store_nbytes
     from bsc_nav_tpu.models import vit
+    from bsc_nav_tpu.models import yolo_world as Y
 
     backend = jax.default_backend()
     log(f"backend: {backend}, devices: {jax.devices()}")
+    # off-TPU (structural/dev runs) shrink the generative stack; the
+    # driver's TPU run always measures the full architectures
+    full = backend == "tpu" and not os.environ.get("BENCH_TINY")
 
-    # full reference workload geometry; capacity sized for one scene
     cfg = Config(
         memory=MemoryConfig(voxel_capacity=(1 << 18) - 8),
+    ) if full else Config(
+        memory=MemoryConfig(grid_size=128, token_dim=256,
+                            voxel_capacity=(1 << 14) - 8),
     )
-    vit_cfg = vit.DINOV2_VITL14_REG
+    vit_cfg = vit.DINOV2_VITL14_REG if full else vit.ViTConfig(
+        img_size=224, patch_size=14, dim=256, depth=2, heads=4,
+        num_registers=4)
     store_dtype = jnp.bfloat16
     log(f"store bytes: {store_nbytes(cfg.memory, store_dtype)/1e9:.2f} GB")
 
@@ -71,42 +103,108 @@ def main():
 
     params = vit.init_params(vit_cfg, jax.random.PRNGKey(0),
                              dtype=jnp.bfloat16)
-    state = init_store(cfg.memory, store_dtype=store_dtype)
     build_step = make_build_step(cfg, vit_cfg, compute_dtype=jnp.bfloat16)
     query_step = make_query_step(cfg, vit_cfg, compute_dtype=jnp.bfloat16)
 
+    # ---- detector: YOLO-World v8x @640, device decode + top-k ----------
+    ycfg = Y.YOLOV8X_WORLDV2 if full else Y.YOLO_TEST
+    yparams = Y.init_params(ycfg, jax.random.PRNGKey(1),
+                            dtype=jnp.bfloat16, text_dim=ycfg.embed_dim)
+    temb = rng.normal(size=(len(DETECT_CLASSES), ycfg.embed_dim))
+    temb = (temb / np.linalg.norm(temb, axis=-1, keepdims=True)
+            ).astype(np.float32)
+    detector = Y.YoloWorldDetector(yparams, ycfg, DETECT_CLASSES,
+                                   temb, confidence=0.55)
+
+    @jax.jit
+    def detect_dispatch(p, rgb_u8, t):
+        s = ycfg.img_size
+        x = rgb_u8.astype(jnp.bfloat16) / 255.0
+        x = jax.image.resize(x, (x.shape[0], s, s, 3), "bilinear")
+        return Y.decode_topk_device(Y.forward(p, x, t, ycfg), ycfg, k=256)
+
+    base_tf = np.asarray(G.base_axes_transform())
+    base2cam = G.base_to_cam_transform(cfg.sensor.sensor_height)
+
+    def detect_host_post(dev_out, depth_np, poses_np, instances):
+        """NMS + long-term instance integration for one batch (runs while
+        the NEXT batch computes on device)."""
+        boxes, conf, cls_idx = (np.asarray(a) for a in dev_out)
+        batch_inst = []
+        for b in range(boxes.shape[0]):
+            sel = conf[b] >= detector.confidence
+            dets = detector._nms_detections(
+                boxes[b][sel], cls_idx[b][sel], conf[b][sel], H, W)
+            if dets:
+                hab = np.asarray(G.pose_vec_to_tf(
+                    jnp.asarray(poses_np[b], jnp.float32)))
+                base_pose = base_tf @ hab @ np.linalg.inv(base_tf)
+                cam_tf = base_pose @ base_tf @ base2cam
+                batch_inst += LT.instances_from_detections(
+                    dets, depth_np[b], cam_tf, cfg)
+        instances[:] = LT.integrate(instances + batch_inst)
+
     def make_batch(seed):
         r = np.random.default_rng(seed)
-        rgb = jnp.asarray(r.integers(0, 255, size=(B, H, W, 3), dtype=np.uint8))
-        depth = jnp.asarray(r.uniform(0.3, 9.0, size=(B, H, W)), jnp.float32)
+        rgb = r.integers(0, 255, size=(B, H, W, 3), dtype=np.uint8)
+        depth = r.uniform(0.3, 9.0, size=(B, H, W)).astype(np.float32)
         poses = np.zeros((B, 7), np.float32)
         poses[:, :3] = r.uniform(-5, 5, size=(B, 3))
         poses[:, 6] = 1.0
-        return rgb, depth, jnp.asarray(poses)
+        return (jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(poses),
+                depth, poses)
 
     batches = [make_batch(s) for s in range(4)]
+    n_iters = int(os.environ.get("BENCH_ITERS", 12))
 
-    # warmup / compile.  NOTE: sync via value materialization --
-    # block_until_ready does not reliably wait on tunneled TPU runtimes.
+    # ---- phase A: encoder + ingest only (round-1 comparable) -----------
+    # NOTE: sync via value materialization -- block_until_ready does not
+    # reliably wait on tunneled TPU runtimes.
+    state = init_store(cfg.memory, store_dtype=store_dtype)
     carry = (state, jax.random.PRNGKey(0))
     t0 = time.perf_counter()
-    carry, stats = build_step(carry, params, *batches[0])
+    carry, stats = build_step(carry, params, *batches[0][:3])
     log(f"build compile+first: {time.perf_counter()-t0:.1f}s, "
         f"voxels={int(stats['num_voxels'])}")
-
-    # timed build (no eager host ops inside the loop)
-    n_iters = 12
     t0 = time.perf_counter()
     for i in range(n_iters):
-        carry, stats = build_step(carry, params, *batches[i % 4])
-    n_vox_final = int(stats["num_voxels"])          # forces execution
-    dt = time.perf_counter() - t0
-    state = carry[0]
-    fps = n_iters * B / dt
-    log(f"build: {n_iters*B} frames in {dt:.2f}s -> {fps:.1f} frames/s, "
-        f"voxels={n_vox_final}, dropped={int(stats['dropped_voxels'])}")
+        carry, stats = build_step(carry, params, *batches[i % 4][:3])
+    _ = int(stats["num_voxels"])                 # forces execution
+    dt_a = time.perf_counter() - t0
+    fps_encode = n_iters * B / dt_a
+    log(f"encode+ingest: {n_iters*B} frames in {dt_a:.2f}s -> "
+        f"{fps_encode:.1f} frames/s")
 
-    # query latency (text-query path: 3 imagination images -> top-100)
+    # ---- phase B: FULL build loop (+ detector into long-term memory) ---
+    t0 = time.perf_counter()
+    dev_out = detect_dispatch(yparams, batches[0][0], detector.text_emb)
+    _ = float(dev_out[1][0, 0])
+    log(f"detector compile+first: {time.perf_counter()-t0:.1f}s")
+
+    state = init_store(cfg.memory, store_dtype=store_dtype)
+    carry = (state, jax.random.PRNGKey(0))
+    instances = []
+    pending = None
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        rgb_d, depth_d, poses_d, depth_np, poses_np = batches[i % 4]
+        carry, stats = build_step(carry, params, rgb_d, depth_d, poses_d)
+        this = (detect_dispatch(yparams, rgb_d, detector.text_emb),
+                depth_np, poses_np)
+        if pending is not None:            # overlaps device compute
+            detect_host_post(*pending, instances)
+        pending = this
+    detect_host_post(*pending, instances)
+    n_vox_final = int(stats["num_voxels"])      # forces execution
+    dt_b = time.perf_counter() - t0
+    state = carry[0]
+    fps = n_iters * B / dt_b
+    log(f"FULL build: {n_iters*B} frames in {dt_b:.2f}s -> {fps:.1f} "
+        f"frames/s, voxels={n_vox_final}, "
+        f"dropped={int(stats['dropped_voxels'])}, "
+        f"longterm instances={len(instances)}")
+
+    # ---- image-goal query latency ---------------------------------------
     qimg = jnp.asarray(rng.integers(0, 255, size=(3, 512, 512, 3),
                                     dtype=np.uint8))
     pos, scores = query_step(state, params, qimg, top_k=100)
@@ -115,11 +213,9 @@ def main():
     for _ in range(10):
         t0 = time.perf_counter()
         pos, scores = query_step(state, params, qimg, top_k=100)
-        _ = float(scores[0])                        # forces execution
+        _ = float(scores[0])                    # forces execution
         lat.append(time.perf_counter() - t0)
     p50 = float(np.median(lat) * 1000)
-    # the tunneled-TPU host<->device round trip dominates small-latency
-    # measurements; report it so the device-side latency is legible
     triv = jax.jit(lambda x: x + 1)
     _ = float(triv(jnp.zeros(8))[0])
     rtt = []
@@ -128,20 +224,81 @@ def main():
         _ = float(triv(jnp.zeros(8))[0])
         rtt.append(time.perf_counter() - t0)
     rtt_ms = float(np.median(rtt) * 1000)
-    log(f"query p50: {p50:.1f} ms (top score {float(scores[0]):.3f}); "
-        f"sync round-trip overhead ~{rtt_ms:.1f} ms")
+    log(f"image query p50: {p50:.1f} ms (top score {float(scores[0]):.3f});"
+        f" sync round-trip overhead ~{rtt_ms:.1f} ms")
 
-    print(json.dumps({
+    # ---- text query END TO END (imagination included) -------------------
+    text_e2e_ms = None
+    if not os.environ.get("BENCH_SKIP_TEXTQ"):
+        import dataclasses
+        from bsc_nav_tpu.models import clip as C
+        from bsc_nav_tpu.models import mmdit as M
+        from bsc_nav_tpu.models import tokenizer as T
+        from bsc_nav_tpu.models import vae as V
+        from bsc_nav_tpu.models.imagination import DiffusionImagination
+
+        mcfg = M.SD35_MEDIUM if full else M.MMDIT_TEST
+        vcfg = V.SD3_VAE if full else V.VAEConfig(
+            latent_channels=mcfg.in_channels, base_channels=32,
+            channel_mults=(1, 2), blocks_per_stage=1)
+        # text tower at MetaCLIP ViT-H scale; vision tower shrunk (unused
+        # by the imagination path -- no reason to hold 1.3 GB of it)
+        ccfg = dataclasses.replace(
+            C.METACLIP_VITH14, vision_width=64, vision_layers=1,
+            vision_heads=1) if full else C.CLIP_VITB32_TEST
+        tokzr = T.HashTokenizer(vocab_size=ccfg.vocab_size,
+                                context_length=ccfg.context_length)
+        t0 = time.perf_counter()
+        imagination = DiffusionImagination(
+            mmdit_params=M.init_params(mcfg, jax.random.PRNGKey(2),
+                                       dtype=jnp.bfloat16),
+            mmdit_cfg=mcfg,
+            vae_params=V.init_params(vcfg, jax.random.PRNGKey(3),
+                                     dtype=jnp.bfloat16),
+            vae_cfg=vcfg,
+            clip_params=C.init_params(ccfg, jax.random.PRNGKey(4),
+                                      dtype=jnp.bfloat16),
+            clip_cfg=ccfg,
+            tokenizer=tokzr,
+            num_images=3,
+            num_steps=28 if full else 4,
+        )
+        log(f"imagination init: {time.perf_counter()-t0:.1f}s")
+
+        def text_query(text):
+            imgs = imagination(text)            # 3 x 512^2 uint8
+            p, s = query_step(state, params, jnp.asarray(imgs), top_k=100)
+            return float(s[0])
+        t0 = time.perf_counter()
+        _ = text_query("a red leather sofa in a living room")
+        log(f"text query compile+first: {time.perf_counter()-t0:.1f}s")
+        tq = []
+        for i in range(2):
+            t0 = time.perf_counter()
+            _ = text_query(f"a wooden chair near a window {i}")
+            tq.append(time.perf_counter() - t0)
+        text_e2e_ms = float(np.median(tq) * 1000)
+        log(f"text query e2e: {text_e2e_ms:.0f} ms "
+            f"(SD3.5-class 3x512^2 28 steps + encode + localize)")
+
+    out = {
         "metric": "memory_build_frames_per_sec",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / REFERENCE_A100_FPS_ESTIMATE, 2),
+        "encode_ingest_frames_per_sec": round(fps_encode, 2),
         "query_localize_p50_ms": round(p50, 2),
+        "text_query_e2e_ms": (round(text_e2e_ms, 1)
+                              if text_e2e_ms is not None else None),
         "sync_rtt_ms": round(rtt_ms, 2),
         "backend": backend,
         "batch": B,
-        "baseline_note": "A100 reference estimated at 10 fps (unrecorded in repo; see BASELINE.md)",
-    }))
+        "full_arch": bool(full),
+        "longterm_instances": len(instances),
+        "baseline_note": ("A100 reference estimated at 10 fps full build "
+                          "loop (unrecorded in repo; see BASELINE.md)"),
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

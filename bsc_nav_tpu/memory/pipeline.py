@@ -30,13 +30,15 @@ from bsc_nav_tpu.models import vit
 
 
 def encode_patch_grid(params, images_uint8: jnp.ndarray, vit_cfg: vit.ViTConfig,
-                      cfg: Config, compute_dtype=jnp.float32) -> jnp.ndarray:
+                      cfg: Config, compute_dtype=jnp.float32,
+                      tp_mesh=None) -> jnp.ndarray:
     """uint8 frames [B, H, W, 3] -> patch-token grid [B, nh, nw, D]
     (reference _get_patch_token, memory_2.py:732-742: resize to the query
     resolution, ImageNet-normalize, DINOv2 forward, reshape)."""
     q = (cfg.query.query_height, cfg.query.query_width)
     x = vit.preprocess(images_uint8, out_hw=q).astype(compute_dtype)
-    feats = vit.forward_features(params, x, vit_cfg)["x_norm_patchtokens"]
+    feats = vit.forward_features(params, x, vit_cfg,
+                                 tp_mesh=tp_mesh)["x_norm_patchtokens"]
     B = images_uint8.shape[0]
     nh = q[0] // vit_cfg.patch_size
     nw = q[1] // vit_cfg.patch_size

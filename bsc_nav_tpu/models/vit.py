@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from bsc_nav_tpu.ops.flash_attention import (
-    attention, attention_from_qkv)
+    attention, attention_from_qkv, attention_from_qkv_tp)
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -168,14 +168,22 @@ def interpolate_pos_embed(pos: jnp.ndarray, n_patches: int) -> jnp.ndarray:
     return jnp.concatenate([cls_pos, grid.reshape(1, g1 * g1, -1)], axis=1)
 
 
-def _block(x, blk, cfg: ViTConfig):
+def _block(x, blk, cfg: ViTConfig, tp_mesh=None):
     B, S, D = x.shape
     h, hd = cfg.heads, cfg.head_dim
 
     y = layer_norm(x, blk["ln1"], cfg.ln_eps)
     # fused qkv -> attention without head transposes where the Pallas
-    # kernel applies (TPU, S <= 640, head_dim 64); else split/transpose
-    att = attention_from_qkv(_linear(y, blk["qkv"]), heads=h)  # [B, S, D]
+    # kernel applies (TPU, S <= 640, head_dim 64); else split/transpose.
+    # Under tensor parallelism (tp_mesh) the qkv weight columns are in
+    # the head-blocked TP layout (parallel/mesh.shard_vit_params) and
+    # attention runs per-shard via shard_map -- zero collectives here
+    # (the row-parallel proj below carries the psum).
+    qkv_act = _linear(y, blk["qkv"])
+    if tp_mesh is not None and tp_mesh.shape.get("mp", 1) > 1:
+        att = attention_from_qkv_tp(qkv_act, heads=h, mesh=tp_mesh)
+    else:
+        att = attention_from_qkv(qkv_act, heads=h)          # [B, S, D]
     att = _linear(att, blk["proj"])
     if "ls1" in blk:
         att = att * blk["ls1"].astype(att.dtype)
@@ -196,10 +204,14 @@ def _block(x, blk, cfg: ViTConfig):
 
 
 def forward_features(params: Dict[str, Any], images: jnp.ndarray,
-                     cfg: ViTConfig) -> Dict[str, jnp.ndarray]:
+                     cfg: ViTConfig, tp_mesh=None) -> Dict[str, jnp.ndarray]:
     """images: [B, H, W, 3] already normalized float.  Returns the
     reference's forward_features dict fields (x_norm_patchtokens,
-    x_norm_clstoken, x_norm_regtokens)."""
+    x_norm_clstoken, x_norm_regtokens).
+
+    tp_mesh: pass the device mesh when params were sharded with
+    `shard_vit_params(..., tp_qkv_layout=True)` -- attention then runs
+    tensor-parallel per shard instead of through GSPMD gathers."""
     B, H, W, _ = images.shape
     n_patches = (H // cfg.patch_size) * (W // cfg.patch_size)
 
@@ -215,7 +227,7 @@ def forward_features(params: Dict[str, Any], images: jnp.ndarray,
         x = jnp.concatenate([x[:, :1], reg, x[:, 1:]], axis=1)
 
     for blk in params["blocks"]:
-        x = _block(x, blk, cfg)
+        x = _block(x, blk, cfg, tp_mesh=tp_mesh)
 
     x = layer_norm(x, params["norm"], cfg.ln_eps)
     return {

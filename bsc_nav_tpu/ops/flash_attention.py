@@ -192,6 +192,65 @@ def attention_from_qkv(qkv, heads: int, causal: bool = False):
 
 
 # ---------------------------------------------------------------------------
+# tensor-parallel attention over a device mesh
+#
+# Under Megatron-style TP the fused qkv projection is column-parallel:
+# each mp shard holds 3*D/mp output columns.  The standard [q | k | v]
+# column layout is NOT head-aligned per shard (shard 0 of mp=2 would get
+# all of q plus half of k), so a GSPMD pallas_call forces an all-gather
+# of the whole [B, S, 3D] activation.  Fix: permute the qkv WEIGHT
+# columns into a head-blocked layout where shard s's contiguous chunk is
+# [q_heads_s | k_heads_s | v_heads_s]; attention is then embarrassingly
+# head-parallel and runs per-shard under shard_map with zero collectives
+# (the row-parallel proj that follows does the psum, inserted by GSPMD).
+# ---------------------------------------------------------------------------
+
+def qkv_tp_permutation(dim: int, mp: int) -> "np.ndarray":
+    """Column permutation [3*dim] turning the fused [q | k | v] qkv
+    projection layout into the per-shard head-blocked layout
+    [q_0 k_0 v_0 | q_1 k_1 v_1 | ...] (chunk s = shard s's columns).
+    Apply to the qkv weight's output axis (and bias) BEFORE sharding it
+    P(None, 'mp'); heads stay in original global order downstream."""
+    import numpy as np
+    assert dim % mp == 0
+    blk = dim // mp
+    perm = []
+    for s in range(mp):
+        for g in range(3):                     # q, k, v column groups
+            start = g * dim + s * blk
+            perm.extend(range(start, start + blk))
+    return np.asarray(perm, dtype=np.int64)
+
+
+def attention_from_qkv_tp(qkv, heads: int, mesh, axis: str = "mp",
+                          causal: bool = False):
+    """Tensor-parallel `attention_from_qkv`: qkv [B, S, 3*D] sharded on
+    the last axis over `axis` in head-blocked layout (qkv_tp_permutation).
+    Each shard runs the standard dispatch (fused Pallas kernel on TPU,
+    fallback elsewhere) on its local heads; output [B, S, D] is sharded
+    on the last axis in global head order.  No collectives inside."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mp = mesh.shape[axis]
+    assert heads % mp == 0, (heads, mp)
+    # respect data parallelism on the batch axis if the mesh carries it
+    # (replicate batches that don't divide dp, e.g. small query batches)
+    batch_axis = ("dp" if "dp" in mesh.axis_names
+                  and qkv.shape[0] % mesh.shape["dp"] == 0 else None)
+
+    def _local(a):
+        return attention_from_qkv(a, heads=heads // mp, causal=causal)
+
+    # check_vma=False: pallas_call inside shard_map can't express vma
+    fn = shard_map(_local, mesh=mesh,
+                   in_specs=P(batch_axis, None, axis),
+                   out_specs=P(batch_axis, None, axis),
+                   check_vma=False)
+    return fn(qkv)
+
+
+# ---------------------------------------------------------------------------
 # short-sequence kernel: the whole sequence fits VMEM, so attention runs
 # in ONE shot per (batch, head) -- no online-softmax blocking and, unlike
 # the XLA path, no [B, H, S, S] logits/probs round trip through HBM

@@ -69,7 +69,10 @@ def dryrun_multichip(n_devices: int, devices=None) -> None:
         heads=2, num_registers=4, mlp_ratio=4.0)
 
     params = vit.init_params(vit_cfg, jax.random.PRNGKey(0))
-    params = M.shard_vit_params(params, mesh)
+    # head-blocked qkv layout + shard_map attention when TP divides heads
+    use_tp = mp > 1 and vit_cfg.heads % mp == 0
+    params = M.shard_vit_params(params, mesh, tp_qkv_layout=use_tp)
+    tp_mesh = mesh if use_tp else None
 
     state = init_store(cfg.memory)
     state = M.shard_store(state, mesh)
@@ -92,12 +95,14 @@ def dryrun_multichip(n_devices: int, devices=None) -> None:
 
     @jax.jit
     def full_step(state, params, rgb, depth, poses, key, qimg):
-        patch = encode_patch_grid(params, rgb, vit_cfg, cfg)
+        patch = encode_patch_grid(params, rgb, vit_cfg, cfg,
+                                  tp_mesh=tp_mesh)
         state, stats = ingest_frames(
             state, rgb, depth, poses, patch, key, cfg)
         # query against the just-built store (sharded similarity + top-k)
         tokens = vit.forward_features(
-            params, vit.preprocess(qimg, out_hw=(28, 28)), vit_cfg
+            params, vit.preprocess(qimg, out_hw=(28, 28)), vit_cfg,
+            tp_mesh=tp_mesh,
         )["x_norm_patchtokens"]
         pooled = gaussian_center_pool(tokens)
         positions, scores = localize(state, pooled, top_k=8)

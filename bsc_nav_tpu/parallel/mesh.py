@@ -50,8 +50,22 @@ def vit_param_spec(path_leaf: str) -> P:
     return P()
 
 
-def shard_vit_params(params, mesh: Mesh):
-    """Place ViT params on the mesh with TP sharding over mp."""
+def shard_vit_params(params, mesh: Mesh, tp_qkv_layout: bool = False):
+    """Place ViT params on the mesh with TP sharding over mp.
+
+    tp_qkv_layout: permute the fused qkv projection's output columns
+    into the head-blocked layout (ops/flash_attention.qkv_tp_permutation)
+    so each mp shard's chunk is [q_heads_s | k_heads_s | v_heads_s] and
+    attention can run per-shard with zero collectives
+    (flash_attention.attention_from_qkv_tp).  The model forward must
+    then be called with `tp_mesh=mesh`."""
+    from bsc_nav_tpu.ops.flash_attention import qkv_tp_permutation
+
+    mp = mesh.shape["mp"]
+    perm = qkv_tp_permutation(
+        params["blocks"][0]["qkv"]["w"].shape[0], mp
+    ) if tp_qkv_layout and mp > 1 else None
+
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
 
     def path_str(path):
@@ -60,7 +74,11 @@ def shard_vit_params(params, mesh: Mesh):
 
     out = []
     for path, leaf in flat:
-        spec = vit_param_spec(path_str(path))
+        name = path_str(path)
+        spec = vit_param_spec(name)
+        if perm is not None and (name.endswith("qkv.w")
+                                 or name.endswith("qkv.b")):
+            leaf = leaf[..., perm]
         # only shard dims that divide evenly; fall back to replication
         ok = all(
             s is None or leaf.shape[i] % mesh.shape[s] == 0
