@@ -83,6 +83,40 @@ def test_create_memory_driver(tmp_path):
     assert os.path.exists(os.path.join(path, "long_memory.json"))
 
 
+def test_create_memory_eqa_pose_seeded(tmp_path):
+    """EQA prebuild: initial agent state comes from the dataset's first
+    frame pkl (reference create_memory_for_eqa.py:65-66); bundle is
+    cached per scene and original_pos records the seeded pose."""
+    import pickle
+    import numpy as np
+    from benchmarks import create_memory
+
+    frames_root = tmp_path / "frames" / "hm3d-v0"
+    ep_dir = frames_root / "00123-hm3d-abcd1234-q0"
+    ep_dir.mkdir(parents=True)
+    seed_pos = [0.8, 0.0, -0.6]
+    with open(ep_dir / "00000.pkl", "wb") as f:
+        pickle.dump({"agent_state": {"position": seed_pos,
+                                     "rotation": [0, 0, 0, 1]}}, f)
+
+    argv = ["--env", "fake", "--task", "eqa",
+            "--eqa-frames-root", str(frames_root),
+            "--memory-root", str(tmp_path / "memory"),
+            "--log-root", str(tmp_path / "tmp")]
+    built = run_in(tmp_path, create_memory.main, argv)
+    assert len(built) == 1
+    path = next(iter(built))
+    assert path.endswith(os.path.join("eqa", "abcd1234"))
+    assert os.path.exists(os.path.join(path, "feat.h5df"))
+    # the exploration started from the SEEDED pose, not the episode start
+    pos = np.load(os.path.join(path, "original_pos.npy"))
+    np.testing.assert_allclose(pos, seed_pos, atol=1e-6)
+
+    # idempotent: second run skips the existing bundle
+    built2 = run_in(tmp_path, create_memory.main, argv)
+    assert built2 == set()
+
+
 def test_write_metrics_mixed_key_sets(tmp_path):
     """Rows with differing key sets stay column-aligned (eqa adds
     'answer_correct' conditionally); resume-by-row-count is preserved."""
