@@ -47,10 +47,10 @@ class DiffusionImagination:
     def __post_init__(self):
         ccfg, mcfg = self.clip_cfg, self.mmdit_cfg
 
-        def encode_text(ids):
+        def encode_text(tparams, ids):
             # sequence features from the text tower (pre-pool), plus the
             # pooled embedding; projected/padded into the MMDiT context
-            t = self.clip_params["text"]
+            t = tparams
             x = t["token_embedding"][ids] + t["pos_embed"][None]
             x = C._tower_forward(x, t["blocks"], ccfg.text_heads,
                                  ccfg.ln_eps, causal=True)
@@ -72,18 +72,22 @@ class DiffusionImagination:
             pad = [(0, 0)] * (x.ndim - 1) + [(0, dim - d)]
             return jnp.pad(x, pad)
 
+        # params flow through as jit ARGUMENTS -- closing over them would
+        # bake ~5 GB of weights into the executable as constants (slow
+        # lowering, doubled HBM while compiling)
         @jax.jit
-        def run(ids, ids_uncond, key):
-            ctx, pool = encode_text(ids)
-            ctx_u, pool_u = encode_text(ids_uncond)
+        def run(mmdit_params, vae_params, text_params, ids, ids_uncond,
+                key):
+            ctx, pool = encode_text(text_params, ids)
+            ctx_u, pool_u = encode_text(text_params, ids_uncond)
             n = self.num_images
             rep = lambda a: jnp.repeat(a, n, axis=0)
             lat = M.sample(
-                self.mmdit_params, key, rep(ctx), rep(pool), mcfg,
+                mmdit_params, key, rep(ctx), rep(pool), mcfg,
                 num_steps=self.num_steps,
                 guidance_scale=self.guidance_scale,
                 context_uncond=rep(ctx_u), pooled_uncond=rep(pool_u))
-            img = V.decode(self.vae_params, lat, self.vae_cfg)
+            img = V.decode(vae_params, lat, self.vae_cfg)
             return V.to_uint8(img)
 
         self._run = run
@@ -93,5 +97,6 @@ class DiffusionImagination:
         ids = T.tokenize([text], self.tokenizer)
         ids_u = T.tokenize([""], self.tokenizer)
         self._key, sub = jax.random.split(self._key)
-        return np.asarray(self._run(jnp.asarray(ids), jnp.asarray(ids_u),
-                                    sub))
+        return np.asarray(self._run(
+            self.mmdit_params, self.vae_params, self.clip_params["text"],
+            jnp.asarray(ids), jnp.asarray(ids_u), sub))

@@ -14,10 +14,12 @@ YOLOv8-World architecture natively:
 
 Class text embeddings come from the CLIP text tower (`set_classes`
 precomputes them, mirroring ultralytics).  The ultralytics checkpoint
-converter maps the public module tree; it is EXPERIMENTAL until
-validated against real weights (no weights ship here).  Architecture
-components are unit-tested against hand-computed oracles (DFL, NMS,
-max-sigmoid attention).
+converter maps the public module tree and is validated end to end
+against an INDEPENDENT torch implementation of yolov8-worldv2 in the
+ultralytics state-dict layout (tests/torch_yolo_oracle.py: forward
+parity at f32 + strict key-coverage), in addition to per-component
+oracles (DFL, NMS, max-sigmoid attention).  Real-weight spot checks
+remain environment-blocked (no checkpoint downloads here).
 """
 
 from __future__ import annotations
@@ -163,7 +165,7 @@ def init_params(cfg: YoloWorldConfig, key, dtype=jnp.float32,
             "bn_bias": jnp.zeros((cfg.embed_dim,), dtype),
             "bn_mean": jnp.zeros((cfg.embed_dim,), dtype),
             "bn_var": jnp.ones((cfg.embed_dim,), dtype),
-            "logit_scale": jnp.asarray(1.0, dtype),
+            "logit_scale": jnp.asarray(0.0, dtype),   # exp(0) = 1
             "logit_bias": jnp.asarray(-10.0, dtype),
         })
     # text projection: CLIP text width -> embed_dim (identity when equal)
@@ -303,13 +305,21 @@ def forward(params, images: jnp.ndarray, text_emb: jnp.ndarray,
         emb = _conv_plain(
             _conv_bn_silu(_conv_bn_silu(feat, hp["cls0"]), hp["cls1"]),
             hp["cls2"])
-        # BNContrastiveHead: BN the embedding, dot with normalized text
-        inv = jax.lax.rsqrt(hp["bn_var"].astype(jnp.float32) + 1e-3)
+        # BNContrastiveHead: BN the embedding, dot with L2-normalized
+        # text (the head normalizes internally in ultralytics, so the
+        # projection above can't skew the similarity scale)
+        # torch-default BN eps here (1e-5); the 1e-3 eps is specific to
+        # ultralytics' Conv blocks
+        inv = jax.lax.rsqrt(hp["bn_var"].astype(jnp.float32) + 1e-5)
         embn = ((emb - hp["bn_mean"]) * inv * hp["bn_scale"]
                 + hp["bn_bias"])
-        cls = jnp.einsum("bhwc,tc->bhwt", embn, proj_guide[0],
+        gn = proj_guide[0] / jnp.maximum(
+            jnp.linalg.norm(proj_guide[0], axis=-1, keepdims=True), 1e-12)
+        cls = jnp.einsum("bhwc,tc->bhwt", embn, gn,
                          preferred_element_type=jnp.float32)
-        cls = cls * hp["logit_scale"] + hp["logit_bias"]
+        # ultralytics BNContrastiveHead scales by logit_scale.EXP()
+        # (CLIP-style parameterization; checkpoint stores the log scale)
+        cls = cls * jnp.exp(hp["logit_scale"]) + hp["logit_bias"]
         outs.append((box, cls))
     return outs
 
@@ -490,9 +500,10 @@ class YoloWorldDetector:
 
 
 # --------------------------------------------------------------------------
-# ultralytics checkpoint conversion (EXPERIMENTAL until validated against
-# real yolov8x-worldv2 weights; the module-index graph below follows the
-# public yolov8-worldv2 yaml)
+# ultralytics checkpoint conversion (validated against the independent
+# torch oracle in tests/torch_yolo_oracle.py -- forward parity + strict
+# key coverage; the module-index graph follows the public
+# yolov8-worldv2 yaml)
 # --------------------------------------------------------------------------
 
 _BACKBONE_IDX = {
@@ -550,15 +561,38 @@ def _c2fattn_from(sd, prefix, dtype=jnp.float32):
     return out
 
 
+class _TrackedDict(dict):
+    """Records key reads so the converter can prove full coverage."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.read = set()
+
+    def __getitem__(self, k):
+        self.read.add(k)
+        return super().__getitem__(k)
+
+    def get(self, k, default=None):
+        if k in self:
+            self.read.add(k)
+        return super().get(k, default)
+
+
 def convert_ultralytics(state_dict, cfg: YoloWorldConfig,
-                        dtype=jnp.float32) -> Dict[str, Any]:
-    """ultralytics yolov8*-worldv2 state dict -> params (EXPERIMENTAL)."""
+                        dtype=jnp.float32,
+                        strict: bool = False) -> Dict[str, Any]:
+    """ultralytics yolov8*-worldv2 state dict -> params.
+
+    strict=True raises if any weight tensor in the state dict is left
+    unconsumed (catches layout drift / silently-dropped modules);
+    `num_batches_tracked` counters and DFL's fixed bin buffer are
+    expected leftovers."""
 
     def _t(x):
         return x.detach().cpu().numpy() if hasattr(x, "detach") \
             else np.asarray(x)
 
-    sd = {}
+    sd = _TrackedDict()
     for k, v in state_dict.items():
         for pre in ("model.model.", "model."):
             if k.startswith(pre):
@@ -602,4 +636,13 @@ def convert_ultralytics(state_dict, cfg: YoloWorldConfig,
             "logit_bias": jnp.asarray(
                 np.squeeze(sd[f"{h}.cv4.{lvl}.bias"]), dtype),
         })
+    if strict:
+        expected_leftover = ("num_batches_tracked", "dfl.conv.weight",
+                             "txt_feats")
+        missed = [k for k in sd if k not in sd.read
+                  and not k.endswith(expected_leftover)]
+        if missed:
+            raise ValueError(
+                f"convert_ultralytics left {len(missed)} weights "
+                f"unconsumed: {sorted(missed)[:10]}...")
     return p

@@ -320,31 +320,39 @@ def short_attention(q, k, v, causal: bool = False,
 # Two heads per grid step so VMEM blocks stay 128 lanes wide.
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("heads", "interpret"))
-def short_attention_qkv(qkv, heads: int, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("heads", "heads_per_block",
+                                              "interpret"))
+def short_attention_qkv(qkv, heads: int, heads_per_block: int = 2,
+                        interpret: bool = False):
     """qkv: [B, S, 3*D] fused projection output (q | k | v column groups,
     each D wide, heads laid out contiguously inside each group).
-    Returns attention output [B, S, D].  S must fit VMEM (<= ~640)."""
+    Returns attention output [B, S, D].  S must fit VMEM (<= ~640).
+
+    heads_per_block: heads processed per grid step; block width is
+    heads_per_block*hd lanes (2 -> 128-lane blocks at hd=64; larger
+    values trade grid steps for VMEM residency)."""
     B, S, threeD = qkv.shape
     D = threeD // 3
     hd = D // heads
-    assert heads % 2 == 0 and hd <= 64, (heads, hd)
+    hp = heads_per_block
+    assert heads % hp == 0 and hd <= 64, (heads, hp, hd)
     scale = 1.0 / math.sqrt(hd)
     S_p = ((S + 15) // 16) * 16                          # bf16 sublane tile
     qkv_p = _pad_to(qkv, 16, axis=1) if S_p != S else qkv
-    W = 2 * hd                                           # 128-lane block
+    W = hp * hd                                          # lane width
 
     def col_spec(group):
-        # block (1, S_p, W) at columns group*D + pair*W
+        # block (1, S_p, W) at columns group*D + p*W
         return pl.BlockSpec(
             (1, S_p, W), lambda b, p, g=group: (b, 0, (g * D) // W + p),
             memory_space=pltpu.VMEM)
 
-    grid = (B, heads // 2)
+    grid = (B, heads // hp)
     # a single input spec would need stride-D gathers; instead pass the
     # same array three times with per-group column indexing
     out = pl.pallas_call(
-        functools.partial(_qkv_kernel_3in, kv_len=S, hd=hd, scale=scale),
+        functools.partial(_qkv_kernel_3in, kv_len=S, hd=hd, scale=scale,
+                          hp=hp),
         grid=grid,
         in_specs=[col_spec(0), col_spec(1), col_spec(2)],
         out_specs=pl.BlockSpec((1, S_p, W), lambda b, p: (b, 0, p),
@@ -356,12 +364,12 @@ def short_attention_qkv(qkv, heads: int, interpret: bool = False):
 
 
 def _qkv_kernel_3in(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, hd: int,
-                    scale: float):
-    qb = q_ref[0].astype(jnp.float32)                   # [S_p, 2*hd]
+                    scale: float, hp: int = 2):
+    qb = q_ref[0].astype(jnp.float32)                   # [S_p, hp*hd]
     kb = k_ref[0].astype(jnp.float32)
     vb = v_ref[0].astype(jnp.float32)
     outs = []
-    for h in range(2):
+    for h in range(hp):
         q = qb[:, h * hd:(h + 1) * hd] * scale
         k = kb[:, h * hd:(h + 1) * hd]
         v = vb[:, h * hd:(h + 1) * hd]

@@ -43,6 +43,20 @@ def test_flash_causal():
                                rtol=2e-3, atol=2e-3)
 
 
+def test_fused_qkv_heads_per_block():
+    """Wider grid blocks (4/8 heads per program) match the default."""
+    from bsc_nav_tpu.ops.flash_attention import (
+        attention_from_qkv, short_attention_qkv)
+    B, S, h, hd = 2, 37, 8, 64
+    qkv = mk((B, S, 3 * h * hd), 30)
+    ref = attention_from_qkv(qkv, heads=h)
+    for hp in (2, 4, 8):
+        out = short_attention_qkv(qkv, heads=h, heads_per_block=hp,
+                                  interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
 def test_causal_rejects_rectangular():
     """Kernels mask with q_pos >= k_pos (no Sk-Sq offset): causal calls
     with Sq != Sk must be rejected, not silently diverge from the
