@@ -229,6 +229,41 @@ def main():
 
     # ---- text query END TO END (imagination included) -------------------
     text_e2e_ms = None
+    try:
+        text_e2e_ms = _text_query_phase(cfg, full, state, params,
+                                        query_step, rng)
+    except Exception as e:                      # noqa: BLE001
+        # the driver contract requires the JSON line no matter what;
+        # report the phase failure on stderr and carry null
+        log(f"text-query phase FAILED: {type(e).__name__}: {e}")
+
+    out = {
+        "metric": "memory_build_frames_per_sec",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REFERENCE_A100_FPS_ESTIMATE, 2),
+        "encode_ingest_frames_per_sec": round(fps_encode, 2),
+        "query_localize_p50_ms": round(p50, 2),
+        "text_query_e2e_ms": (round(text_e2e_ms, 1)
+                              if text_e2e_ms is not None else None),
+        "sync_rtt_ms": round(rtt_ms, 2),
+        "backend": backend,
+        "batch": B,
+        "full_arch": bool(full),
+        "longterm_instances": len(instances),
+        "baseline_note": ("A100 reference estimated at 10 fps full build "
+                          "loop (unrecorded in repo; see BASELINE.md)"),
+    }
+    print(json.dumps(out))
+
+
+def _text_query_phase(cfg, full, state, params, query_step, rng):
+    import time
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    text_e2e_ms = None
     if not os.environ.get("BENCH_SKIP_TEXTQ"):
         import dataclasses
         from bsc_nav_tpu.models import clip as C
@@ -280,25 +315,7 @@ def main():
         text_e2e_ms = float(np.median(tq) * 1000)
         log(f"text query e2e: {text_e2e_ms:.0f} ms "
             f"(SD3.5-class 3x512^2 28 steps + encode + localize)")
-
-    out = {
-        "metric": "memory_build_frames_per_sec",
-        "value": round(fps, 2),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / REFERENCE_A100_FPS_ESTIMATE, 2),
-        "encode_ingest_frames_per_sec": round(fps_encode, 2),
-        "query_localize_p50_ms": round(p50, 2),
-        "text_query_e2e_ms": (round(text_e2e_ms, 1)
-                              if text_e2e_ms is not None else None),
-        "sync_rtt_ms": round(rtt_ms, 2),
-        "backend": backend,
-        "batch": B,
-        "full_arch": bool(full),
-        "longterm_instances": len(instances),
-        "baseline_note": ("A100 reference estimated at 10 fps full build "
-                          "loop (unrecorded in repo; see BASELINE.md)"),
-    }
-    print(json.dumps(out))
+    return text_e2e_ms
 
 
 if __name__ == "__main__":

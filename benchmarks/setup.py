@@ -52,7 +52,7 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--env", choices=["fake", "habitat"], default="fake")
     p.add_argument("--episodes", type=int, default=5)
     p.add_argument("--csv", type=str, default=None)
-    p.add_argument("--llm", choices=["mock", "openai"], default="mock")
+    p.add_argument("--llm", choices=["mock", "openai", "local"], default="mock")
     p.add_argument("--llm-model", type=str, default="gpt-4o")
     p.add_argument("--memory-root", type=str, default="./memory")
     p.add_argument("--weights-dir", type=str, default=None)
@@ -97,6 +97,12 @@ def habitat_config(args) -> Config:
 def make_llm(args, bench=None):
     if args.llm == "openai":
         return L.OpenAICompatClient()
+    if args.llm == "local":
+        # in-process Qwen2.5-VL judge (reference objnav_benchmark.py:
+        # 165-171 serves it remotely; here it runs on the TPU directly)
+        from bsc_nav_tpu.agents.local_vlm import load_local_vlm
+        assert args.weights_dir, "--llm local needs --weights-dir"
+        return load_local_vlm(args.weights_dir)
     import re as _re
 
     def _echo_braced_goal(t):

@@ -1,0 +1,264 @@
+"""Local VLM judge: Qwen2.5-VL served in-process behind the ChatClient
+protocol.
+
+Fills the reference's local-judge option (objnav_benchmark.py:165-171,
+:313-314 serves Qwen2.5-VL-3B-Instruct via an OpenAI-compatible server;
+here the model runs in this process on the TPU), enabling fully
+offline benchmark runs: `--llm local --llm-weights <dir>`.
+
+Pipeline per chat() call:
+  messages (OpenAI format, data-URL images) -> Qwen chat template with
+  <|vision_start|><|image_pad|>*N<|vision_end|> -> fixed-resolution
+  image patches (HF Qwen2VL processor layout) -> vision tower -> merged
+  embeds -> one-dispatch greedy generation (prefill + KV-cache
+  while_loop) -> tokenizer decode.
+
+Prompt lengths are bucketed to a few static sizes so the compiled
+generator is reused across calls (XLA recompiles per shape).
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import math
+import re
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from bsc_nav_tpu.models import qwen_vl as Q
+
+OPENAI_CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073],
+                            np.float32)
+OPENAI_CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711],
+                           np.float32)
+
+# Qwen2.5 special tokens (tokenizer-defined; defaults are the public ids)
+IM_START = "<|im_start|>"
+IM_END = "<|im_end|>"
+VISION_START = "<|vision_start|>"
+VISION_END = "<|vision_end|>"
+IMAGE_PAD = "<|image_pad|>"
+
+
+def image_to_patches(img: np.ndarray, size: int,
+                     cfg: Q.QwenVLVisionConfig
+                     ) -> Tuple[np.ndarray, Tuple[int, int, int]]:
+    """uint8 [H, W, 3] -> (flat patches [S, C*tp*p*p], grid_thw) in the
+    HF Qwen2VL image-processor layout (merge-unit raster order)."""
+    import jax
+    import jax.numpy as jnp
+
+    x = np.asarray(img)[:, :, :3].astype(np.float32) / 255.0
+    if x.shape[:2] != (size, size):
+        x = np.asarray(jax.image.resize(
+            jnp.asarray(x), (size, size, 3), "bilinear"))
+    x = (x - OPENAI_CLIP_MEAN) / OPENAI_CLIP_STD
+    x = x.transpose(2, 0, 1)                            # [C, H, W]
+    x = np.repeat(x[None], cfg.temporal_patch, axis=0)  # [tp, C, H, W]
+    p, m = cfg.patch, cfg.merge
+    gh, gw = size // p, size // p
+    pt = x.reshape(1, cfg.temporal_patch, 3, gh // m, m, p,
+                   gw // m, m, p)
+    pt = pt.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+    return (pt.reshape(gh * gw, 3 * cfg.temporal_patch * p * p),
+            (1, gh, gw))
+
+
+def decode_data_url(url: str) -> np.ndarray:
+    """data:image/...;base64,... -> uint8 array."""
+    b64 = url.split("base64,", 1)[1]
+    from PIL import Image
+    img = Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB")
+    return np.asarray(img)
+
+
+def build_prompt(messages: List[dict], n_image_tokens: int
+                 ) -> Tuple[str, List[np.ndarray]]:
+    """OpenAI messages -> (Qwen chat-template string, images)."""
+    parts: List[str] = []
+    images: List[np.ndarray] = []
+    for msg in messages:
+        content = msg.get("content", "")
+        body: List[str] = []
+        if isinstance(content, str):
+            body.append(content)
+        else:
+            for item in content:
+                if item.get("type") == "text":
+                    body.append(item["text"])
+                elif item.get("type") == "image_url":
+                    images.append(
+                        decode_data_url(item["image_url"]["url"]))
+                    body.append(VISION_START
+                                + IMAGE_PAD * n_image_tokens
+                                + VISION_END)
+        parts.append(f"{IM_START}{msg['role']}\n" + "".join(body)
+                     + f"{IM_END}\n")
+    parts.append(f"{IM_START}assistant\n")
+    return "".join(parts), images
+
+
+def mm_position_ids(ids: np.ndarray, image_token_id: int,
+                    grids: Sequence[Tuple[int, int, int]],
+                    merge: int) -> np.ndarray:
+    """3D M-RoPE position ids [3, 1, S] for one sequence with inline
+    images (HF get_rope_index semantics: text advances all three axes
+    together; an image block advances t/h/w separately, and text resumes
+    at max+1)."""
+    S = len(ids)
+    out = np.zeros((3, S), np.int64)
+    pos = 0
+    img_i = 0
+    i = 0
+    while i < S:
+        if ids[i] == image_token_id:
+            t, h, w = grids[img_i]
+            lh, lw = h // merge, w // merge
+            n = t * lh * lw
+            tt = np.repeat(np.arange(t), lh * lw)
+            hh = np.tile(np.repeat(np.arange(lh), lw), t)
+            ww = np.tile(np.tile(np.arange(lw), lh), t)
+            out[0, i:i + n] = pos + tt
+            out[1, i:i + n] = pos + hh
+            out[2, i:i + n] = pos + ww
+            pos = out[:, i:i + n].max() + 1
+            i += n
+            img_i += 1
+        else:
+            out[:, i] = pos
+            pos += 1
+            i += 1
+    return out[:, None, :]
+
+
+class ByteTokenizer:
+    """Dependency-free byte-level tokenizer for offline tests: bytes map
+    to ids 0..255; special tokens get dedicated ids above."""
+
+    SPECIALS = [IM_START, IM_END, VISION_START, VISION_END, IMAGE_PAD]
+
+    def __init__(self):
+        self.special_ids = {s: 256 + i for i, s in enumerate(self.SPECIALS)}
+        self.eos_id = self.special_ids[IM_END]
+        self.image_pad_id = self.special_ids[IMAGE_PAD]
+        self.vocab_size = 256 + len(self.SPECIALS)
+
+    def encode(self, text: str) -> List[int]:
+        pattern = "(" + "|".join(re.escape(s) for s in self.SPECIALS) + ")"
+        out: List[int] = []
+        for chunk in re.split(pattern, text):
+            if chunk in self.special_ids:
+                out.append(self.special_ids[chunk])
+            else:
+                out.extend(chunk.encode("utf-8"))
+        return out
+
+    def decode(self, ids: Sequence[int]) -> str:
+        rev = {v: k for k, v in self.special_ids.items()}
+        out, buf = [], []
+        for t in ids:
+            if t in rev:
+                out.append(bytes(buf).decode("utf-8", "ignore"))
+                buf = []
+                out.append(rev[t])
+            elif t < 256:
+                buf.append(int(t))
+        out.append(bytes(buf).decode("utf-8", "ignore"))
+        return "".join(out)
+
+
+class LocalVLMClient:
+    """ChatClient-protocol wrapper over the in-process Qwen2.5-VL."""
+
+    def __init__(self, params, cfg: Q.QwenVLConfig, tokenizer,
+                 image_size: int = 224, max_new_tokens: int = 128,
+                 prompt_buckets: Sequence[int] = (256, 512, 1024, 2048)):
+        self.params = params
+        self.cfg = cfg
+        self.tok = tokenizer
+        self.image_size = image_size
+        self.max_new = max_new_tokens
+        self.buckets = sorted(prompt_buckets)
+        self._gens: Dict[int, Any] = {}
+        self.eos_id = getattr(tokenizer, "eos_id", None) or \
+            getattr(tokenizer, "eos_token_id", 151645)
+        self.image_pad_id = getattr(tokenizer, "image_pad_id", None) or \
+            cfg.image_token_id
+        gh = image_size // cfg.vision.patch
+        self.grid: Tuple[int, int, int] = (1, gh, gh)
+        self.n_image_tokens = (gh // cfg.vision.merge) ** 2
+        self.calls: List[Dict[str, Any]] = []
+
+    def _generator(self, max_len: int):
+        if max_len not in self._gens:
+            self._gens[max_len] = Q.make_greedy_generator(
+                self.cfg.text, max_len=max_len, max_new=self.max_new,
+                eos_id=int(self.eos_id))
+        return self._gens[max_len]
+
+    def chat(self, model: str, messages: List[dict],
+             timeout: float = 500.0) -> str:
+        import jax.numpy as jnp
+
+        del model, timeout
+        prompt, images = build_prompt(messages, self.n_image_tokens)
+        ids = np.asarray(self.tok.encode(prompt), np.int64)
+        # the template emits image pads via the tokenizer's special id;
+        # remap to the model's image token id if they differ
+        if self.image_pad_id != self.cfg.image_token_id:
+            ids = np.where(ids == self.image_pad_id,
+                           self.cfg.image_token_id, ids)
+        S = len(ids)
+        max_len = next((b for b in self.buckets if b >= S),
+                       self.buckets[-1])
+        if S > max_len:
+            raise ValueError(f"prompt too long: {S} > {max_len}")
+
+        grids = [self.grid] * len(images)
+        pos = mm_position_ids(ids, self.cfg.image_token_id, grids,
+                              self.cfg.vision.merge)
+        emb = Q.embed_tokens(self.params, jnp.asarray(ids)[None])
+        if images:
+            patches = np.concatenate(
+                [image_to_patches(im, self.image_size, self.cfg.vision)[0]
+                 for im in images])
+            vis = Q.vision_forward(self.params["vision"],
+                                   jnp.asarray(patches), grids,
+                                   self.cfg.vision)
+            emb = Q.merge_vision_embeds(
+                self.params, jnp.asarray(ids)[None], vis,
+                self.cfg.image_token_id)
+        emb = jnp.pad(emb, ((0, 0), (0, max_len - S), (0, 0)))
+        pos_p = jnp.pad(jnp.asarray(pos), ((0, 0), (0, 0),
+                                           (0, max_len - S)))
+        gen = self._generator(max_len)
+        tokens, n = gen(self.params, emb, jnp.asarray(S, jnp.int32),
+                        pos_p, jnp.asarray(int(pos.max()) + 1, jnp.int32))
+        toks = [int(t) for t in np.asarray(tokens)[:int(n)]
+                if int(t) != int(self.eos_id)]
+        text = self.tok.decode(toks)
+        self.calls.append({"messages": messages, "response": text})
+        return text.strip()
+
+
+def load_local_vlm(weights_dir: str, cfg: Optional[Q.QwenVLConfig] = None,
+                   dtype=None, **kw) -> LocalVLMClient:
+    """Build a LocalVLMClient from a converted-weights directory:
+    `qwen_vl.npz` (models/weights.py flat layout) + an HF tokenizer in
+    the same directory (tokenizer.json)."""
+    import os
+    import jax.numpy as jnp
+    from bsc_nav_tpu.models.weights import unflatten_params
+
+    cfg = cfg or Q.QWEN25_VL_3B
+    dtype = dtype or jnp.bfloat16
+    z = np.load(os.path.join(weights_dir, "qwen_vl.npz"))
+    params = unflatten_params({k: jnp.asarray(v, dtype)
+                               for k, v in z.items()})
+    from transformers import AutoTokenizer
+    tok = AutoTokenizer.from_pretrained(weights_dir)
+    tok.eos_id = tok.convert_tokens_to_ids(IM_END)
+    tok.image_pad_id = tok.convert_tokens_to_ids(IMAGE_PAD)
+    return LocalVLMClient(params, cfg, tok, **kw)

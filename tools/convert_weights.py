@@ -108,6 +108,30 @@ def convert_yolo_cmd(args):
     print(f"wrote {args.out}")
 
 
+def convert_qwen_vl_cmd(args):
+    """HF Qwen2.5-VL checkpoint dir -> qwen_vl.npz (+ the dir keeps its
+    tokenizer files for agents/local_vlm.load_local_vlm)."""
+    from bsc_nav_tpu.models import qwen_vl as Q
+    from bsc_nav_tpu.models.weights import save_params_npz
+
+    import glob as _glob
+    sd = {}
+    shards = sorted(_glob.glob(os.path.join(args.checkpoint,
+                                            "*.safetensors")))
+    if shards:
+        from safetensors import safe_open
+        for sh in shards:
+            with safe_open(sh, framework="np") as f:
+                for k in f.keys():
+                    sd[k] = f.get_tensor(k)
+    else:
+        sd = _load_torch_state_dict(args.checkpoint)
+    params = Q.convert_hf(sd, Q.QWEN25_VL_3B)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    save_params_npz(params, args.out)
+    print(f"wrote {args.out}")
+
+
 def verify_dinov2_cmd(args):
     """Compare JAX vs torch-hub DINOv2 on random images (requires
     network access for torch.hub unless the hub cache is primed)."""
@@ -165,6 +189,12 @@ def main(argv=None):
                     help="ultralytics yolov8x-worldv2.pt")
     yw.add_argument("--out", required=True)
     yw.set_defaults(fn=convert_yolo_cmd)
+
+    qv = sub.add_parser("qwen-vl")
+    qv.add_argument("--checkpoint", required=True,
+                    help="HF Qwen2.5-VL-3B-Instruct dir (safetensors)")
+    qv.add_argument("--out", required=True)
+    qv.set_defaults(fn=convert_qwen_vl_cmd)
 
     v = sub.add_parser("verify-dinov2")
     v.add_argument("--npz", required=True)
