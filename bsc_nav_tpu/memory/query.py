@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from bsc_nav_tpu.memory.store import VoxelStoreState
-from bsc_nav_tpu.ops.similarity import max_cosine
+from bsc_nav_tpu.ops.similarity import max_cosine, max_cosine_per_voxel_batch
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -97,3 +97,28 @@ def localize(
     scores, idx = jax.lax.top_k(per_voxel, top_k)
     positions = state.slot_pos[idx]
     return positions, scores
+
+
+@functools.partial(jax.jit, static_argnames=("top_k",))
+def localize_batch(
+    state: VoxelStoreState,
+    queries: jnp.ndarray,              # [Q, D] pooled query features
+    top_k: int = 100,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-K voxels for EVERY query in one store pass.
+
+    The single-query scan is matvec-limited (one MXU column); this is a
+    [VK, D] x [D, Q] matmul, so Q queries cost barely more than one --
+    use it whenever more than one goal is localized against the same
+    store (two-stage text+image retrieval, batched episode farming).
+    Returns (positions [Q, top_k, 3] int32, scores [Q, top_k] f32)."""
+    V1 = state.feat_count.shape[0]
+    qn = queries.astype(jnp.float32)
+    qn = qn / jnp.maximum(
+        jnp.linalg.norm(qn, axis=-1, keepdims=True), 1e-12)
+    per_voxel = max_cosine_per_voxel_batch(
+        state.feats, state.feat_norm, state.feat_count, qn)   # [Q, V1]
+    occupied = jnp.arange(V1)[None] < state.num_voxels
+    per_voxel = jnp.where(occupied, per_voxel, -jnp.inf)
+    scores, idx = jax.lax.top_k(per_voxel, top_k)
+    return state.slot_pos[idx], scores

@@ -43,6 +43,13 @@ class DiffusionImagination:
     num_steps: int = 28
     guidance_scale: float = 7.0
     seed: int = 0
+    # optional T5 conditioning (SD3.5 concatenates T5-XXL sequence
+    # features after the CLIP context; reference loads T5-XXL at
+    # memory_2.py:49): supply converted T5 params + its tokenizer to
+    # enable; None keeps the CLIP-only context.
+    t5_params: Optional[dict] = None
+    t5_cfg: Optional[object] = None
+    t5_tokenizer: Optional[object] = None
 
     def __post_init__(self):
         ccfg, mcfg = self.clip_cfg, self.mmdit_cfg
@@ -72,14 +79,29 @@ class DiffusionImagination:
             pad = [(0, 0)] * (x.ndim - 1) + [(0, dim - d)]
             return jnp.pad(x, pad)
 
+        use_t5 = self.t5_params is not None
+
+        def full_context(text_params, t5_params, ids, t5_ids):
+            ctx, pool = encode_text(text_params, ids)
+            if use_t5:
+                # SD3.5 layout: CLIP context (zero-padded to the joint
+                # width) followed by the T5 sequence features
+                from bsc_nav_tpu.models import t5 as T5
+                t5_ctx = T5.encode(t5_params, t5_ids, self.t5_cfg)
+                ctx = jnp.concatenate(
+                    [ctx, _fit(t5_ctx, mcfg.context_dim).astype(ctx.dtype)],
+                    axis=1)
+            return ctx, pool
+
         # params flow through as jit ARGUMENTS -- closing over them would
         # bake ~5 GB of weights into the executable as constants (slow
         # lowering, doubled HBM while compiling)
         @jax.jit
-        def run(mmdit_params, vae_params, text_params, ids, ids_uncond,
-                key):
-            ctx, pool = encode_text(text_params, ids)
-            ctx_u, pool_u = encode_text(text_params, ids_uncond)
+        def run(mmdit_params, vae_params, text_params, t5_params,
+                ids, ids_uncond, t5_ids, t5_ids_uncond, key):
+            ctx, pool = full_context(text_params, t5_params, ids, t5_ids)
+            ctx_u, pool_u = full_context(text_params, t5_params,
+                                         ids_uncond, t5_ids_uncond)
             n = self.num_images
             rep = lambda a: jnp.repeat(a, n, axis=0)
             lat = M.sample(
@@ -93,10 +115,19 @@ class DiffusionImagination:
         self._run = run
         self._key = jax.random.PRNGKey(self.seed)
 
+    def _t5_ids(self, text: str):
+        if self.t5_params is None:
+            return jnp.zeros((1, 1), jnp.int32)    # unused placeholder
+        ids = self.t5_tokenizer.encode(text)
+        L = 77
+        ids = (ids[:L] + [1] + [0] * L)[:L]         # </s> + pad
+        return jnp.asarray([ids], jnp.int32)
+
     def __call__(self, text: str) -> np.ndarray:
         ids = T.tokenize([text], self.tokenizer)
         ids_u = T.tokenize([""], self.tokenizer)
         self._key, sub = jax.random.split(self._key)
         return np.asarray(self._run(
             self.mmdit_params, self.vae_params, self.clip_params["text"],
-            jnp.asarray(ids), jnp.asarray(ids_u), sub))
+            self.t5_params, jnp.asarray(ids), jnp.asarray(ids_u),
+            self._t5_ids(text), self._t5_ids(""), sub))

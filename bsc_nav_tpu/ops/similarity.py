@@ -115,3 +115,27 @@ def reference_max_cosine(feats, norms, counts, q):
 def max_cosine(feats, norms, counts, q):
     """Canonical dispatch used by memory/query.py."""
     return max_cosine_per_voxel(feats, norms, counts, q)
+
+
+@jax.jit
+def max_cosine_per_voxel_batch(feats, norms, counts, qs):
+    """Batched-query scan: qs [Q, D] -> [Q, V1] max cosines.
+
+    The single-query scan is MATVEC-limited (one MXU column active, see
+    module docstring); batching turns it into a [VK, D] x [D, Q] MATMUL
+    that amortizes the store's HBM read Q-fold -- Q queries cost barely
+    more than one.  Serves multi-goal retrieval (two-stage text+image
+    queries, episode farming)."""
+    VK, D = feats.shape
+    V1 = counts.shape[0]
+    K = VK // V1
+    mnorm = masked_norms(norms, counts, K)
+    if feats.dtype == jnp.int8:
+        dots = jnp.einsum("rd,qd->qr", feats.astype(jnp.bfloat16),
+                          qs.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+    else:
+        dots = jnp.einsum("rd,qd->qr", feats, qs.astype(feats.dtype),
+                          preferred_element_type=jnp.float32)
+    sims = jnp.where(mnorm[None] > 0, dots / mnorm[None], -jnp.inf)
+    return jnp.max(sims.reshape(-1, V1, K), axis=2)

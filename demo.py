@@ -34,6 +34,9 @@ def main(argv=None):
     p.add_argument("--goal", type=str, default="bed")
     p.add_argument("--goal-image", type=str, default=None)
     p.add_argument("--out-dir", type=str, default="./demo_out")
+    p.add_argument("--window", action="store_true",
+                   help="cv2 live view in interactive mode (needs a "
+                        "display; falls back to terminal-only)")
     args = p.parse_args(argv)
     os.makedirs(args.out_dir, exist_ok=True)
 
@@ -56,15 +59,38 @@ def main(argv=None):
                        cfg.memory.grid_size)
 
     if args.nav_mode == "interactive":
-        # terminal port of the reference's keyboard robot (agent.py:27,
-        # :341): w/a/s/d + u/j to look, 'nav <prompt>' for two-stage
-        # retrieval navigation, 'save' to dump the current view, 'q' quit
+        # port of the reference's keyboard robot (agent.py:27, :341):
+        # w/a/s/d + u/j to look, 'nav <prompt>' for two-stage retrieval
+        # navigation, 'save' to dump the current view, 'q' quit.  With
+        # --window (and a display) a cv2 live view tracks every step,
+        # like the reference's cv2.imshow loop; otherwise terminal-only.
         robot = ObjectNavRobot(memory, bench, llm_client=extras["llm"],
                                matcher=extras["matcher"],
                                llm_model=args.llm_model)
         robot.reset(obs, log_dir=args.out_dir)
         keymap = {"w": "move_forward", "a": "turn_left", "d": "turn_right",
                   "s": "move_backward", "u": "look_up", "j": "look_down"}
+
+        show = None
+        has_display = bool(os.environ.get("DISPLAY")
+                           or os.environ.get("WAYLAND_DISPLAY"))
+        if args.window and not has_display:
+            # cv2's Qt backend ABORTS (not raises) without a display
+            print("no DISPLAY; terminal mode")
+        elif args.window:
+            try:
+                import cv2
+                cv2.namedWindow("bsc-nav", cv2.WINDOW_NORMAL)
+
+                def show():
+                    cur = bench.sim.get_sensor_observations(0)
+                    bgr = np.asarray(cur["rgb"])[:, :, :3][:, :, ::-1]
+                    cv2.imshow("bsc-nav", bgr)
+                    cv2.waitKey(1)
+                show()
+            except Exception as e:               # noqa: BLE001
+                print(f"cv2 window unavailable ({e}); terminal mode")
+                show = None
         print("interactive mode: w/a/s/d/u/j move, 'nav <prompt>' to "
               "navigate, 'save' to dump view, 'q' to quit")
         step_i = 0
@@ -93,6 +119,8 @@ def main(argv=None):
                 st = bench.sim.agents[0].get_state()
                 print(f"pos={np.round(st.position, 2)} "
                       f"yaw={st.rotation.yaw():.2f}")
+                if show is not None:
+                    show()
                 continue
             print("unknown command")
         return

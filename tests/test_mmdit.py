@@ -178,3 +178,39 @@ def test_sd3_converter_mapping():
     v = M.forward(params, lat, jnp.array([0.5]), ctx, pooled, cfg)
     assert v.shape == lat.shape
     assert np.isfinite(np.asarray(v)).all()
+
+
+def test_imagination_with_t5_conditioning():
+    """Optional T5 stream: context = CLIP ctx ++ T5 sequence features
+    (SD3.5 conditioning layout, reference loads T5-XXL memory_2.py:49)."""
+    from bsc_nav_tpu.models import t5 as T5
+
+    class HashT5Tok:
+        def encode(self, text):
+            return [min(ord(c), 255) for c in text][:32]
+
+    ccfg = CL.CLIP_VITB32_TEST
+    vae_cfg = V.VAE_TEST.__class__(
+        latent_channels=CFG.in_channels, base_channels=16,
+        channel_mults=(1, 2), blocks_per_stage=2, groups=4,
+        scaling_factor=1.0, shift_factor=0.0)
+    imag = DiffusionImagination(
+        mmdit_params=M.init_params(CFG, jax.random.PRNGKey(1)),
+        mmdit_cfg=CFG,
+        vae_params=V.init_params(vae_cfg, jax.random.PRNGKey(2)),
+        vae_cfg=vae_cfg,
+        clip_params=CL.init_params(ccfg, jax.random.PRNGKey(0)),
+        clip_cfg=ccfg,
+        tokenizer=T.HashTokenizer(vocab_size=ccfg.vocab_size,
+                                  context_length=ccfg.context_length),
+        num_images=1, num_steps=2,
+        t5_params=T5.init_params(T5.T5_TEST, jax.random.PRNGKey(3)),
+        t5_cfg=T5.T5_TEST,
+        t5_tokenizer=HashT5Tok())
+    out = imag("a red chair near the window")
+    assert out.shape == (1, CFG.input_size * 2, CFG.input_size * 2, 3)
+    assert out.dtype == np.uint8
+    # T5 stream actually changes the conditioning (different prompt ->
+    # different context tail -> different image)
+    out2 = imag("a blue table in the kitchen")
+    assert not np.array_equal(out, out2)

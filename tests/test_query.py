@@ -126,3 +126,44 @@ def test_empty_store_returns_neg_inf():
     q = np.ones(cfg.memory.token_dim, np.float32)
     positions, scores = Q.localize(state, jnp.asarray(q), top_k=8)
     assert (np.asarray(scores) == -np.inf).all()
+
+
+def test_localize_batch_matches_per_query(rng):
+    """Batched multi-query localize == per-query localize (one matmul
+    store pass instead of Q matvec passes)."""
+    cfg = small_test_config()
+    state, feats, norms, cnt, pos = build_store(cfg, n_vox=70, seed=8)
+    Qn = 5
+    qs = rng.normal(size=(Qn, cfg.memory.token_dim)).astype(np.float32)
+
+    bpos, bscores = Q.localize_batch(state, jnp.asarray(qs), top_k=12)
+    assert bpos.shape == (Qn, 12, 3) and bscores.shape == (Qn, 12)
+    for i in range(Qn):
+        p_ref, s_ref = Q.localize(state, jnp.asarray(qs[i]), top_k=12)
+        np.testing.assert_allclose(np.asarray(bscores[i]),
+                                   np.asarray(s_ref), rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(bpos[i]),
+                                      np.asarray(p_ref))
+
+
+def test_localize_batch_int8_store():
+    """int8 stores go through the bf16-upcast path in the batch scan."""
+    import jax as _jax
+    from bsc_nav_tpu.memory.store import init_store
+    from bsc_nav_tpu.memory import ingest as ing
+    from test_ingest import make_frames
+
+    cfg = small_test_config()
+    rgb, depth, poses, tokens = make_frames(cfg, 3, seed=12)
+    state = init_store(cfg.memory, store_dtype=jnp.int8)
+    state, _ = ing.ingest_frames(
+        state, jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(poses),
+        jnp.asarray(tokens), _jax.random.PRNGKey(1), cfg)
+    qs = np.random.default_rng(3).normal(
+        size=(3, cfg.memory.token_dim)).astype(np.float32)
+    bpos, bscores = Q.localize_batch(state, jnp.asarray(qs), top_k=8)
+    for i in range(3):
+        _, s_ref = Q.localize(state, jnp.asarray(qs[i]), top_k=8)
+        np.testing.assert_allclose(np.asarray(bscores[i]),
+                                   np.asarray(s_ref), rtol=1e-3,
+                                   atol=1e-4)
