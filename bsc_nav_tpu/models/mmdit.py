@@ -258,14 +258,25 @@ def sample(params, key, context, pooled, cfg: MMDiTConfig,
     x = x * sigmas[0]
 
     use_cfg = context_uncond is not None
+    if use_cfg:
+        # one 2B-batch forward per step instead of two B-batch forwards:
+        # bigger matmuls, better MXU utilization, half the per-call
+        # overhead (standard CFG batching)
+        ctx2 = jnp.concatenate([context, context_uncond], axis=0)
+        pool2 = jnp.concatenate([pooled, pooled_uncond], axis=0)
 
-    def step(i, x):
-        t = jnp.full((B,), sigmas[i])
-        v = forward(params, x, t, context, pooled, cfg)
-        if use_cfg:
-            vu = forward(params, x, t, context_uncond, pooled_uncond, cfg)
+        def step(i, x):
+            t = jnp.full((2 * B,), sigmas[i])
+            v2 = forward(params, jnp.concatenate([x, x], axis=0), t,
+                         ctx2, pool2, cfg)
+            v, vu = v2[:B], v2[B:]
             v = vu + guidance_scale * (v - vu)
-        return x + (sigmas[i + 1] - sigmas[i]) * v
+            return x + (sigmas[i + 1] - sigmas[i]) * v
+    else:
+        def step(i, x):
+            t = jnp.full((B,), sigmas[i])
+            v = forward(params, x, t, context, pooled, cfg)
+            return x + (sigmas[i + 1] - sigmas[i]) * v
 
     return jax.lax.fori_loop(0, num_steps, step, x)
 
