@@ -143,12 +143,17 @@ def flash_attention(q, k, v, causal: bool = False, interpret: bool = False):
 # Dispatch thresholds (measured on v5e, ViT-L/CLIP-H/MMDiT shapes):
 #   - short sequences (encoders, S <= ~640): the one-shot VMEM kernel
 #     below avoids the [B,H,S,S] logits/probs HBM round trip and beats
-#     XLA by ~20%;
-#   - long sequences (MMDiT joint attention, 1k+): the blockwise flash
-#     kernel;
-#   - in between / off-TPU: fused XLA attention.
+#     XLA by ~20% inside the real encoder stack;
+#   - mid sequences: XLA's fused attention wins BIG over the blockwise
+#     Pallas kernel (its grid of tiny [bq,64]x[64,bk] programs runs
+#     sequentially on the one TensorCore).  Measured x8-layer stacks:
+#     S=1101 b6h24: XLA 17.7 ms vs flash 52.4; S=2048: 29 vs 144;
+#     S=4096 b2: 35 vs 188;
+#   - only when the materialized [B,H,S,S] f32 logits would blow HBM
+#     does blockwise flash win: S=8192 b1h24 (6.4 GB): flash 366 ms vs
+#     XLA 1362 ms (spilling).  Dispatch on logits bytes, not S.
 _SHORT_MAX_KV = 640
-_FLASH_MIN_KV = 1024
+_FLASH_MIN_LOGITS_BYTES = 4e9
 
 
 def attention(q, k, v, causal: bool = False):
@@ -158,9 +163,11 @@ def attention(q, k, v, causal: bool = False):
             f"causal attention requires Sq == Sk (kernel masks have no "
             f"length offset); got Sq={q.shape[2]} Sk={k.shape[2]}")
     if jax.default_backend() == "tpu":
-        if k.shape[2] <= _SHORT_MAX_KV:
+        B, H, Sq, _ = q.shape
+        Sk = k.shape[2]
+        if Sk <= _SHORT_MAX_KV:
             return short_attention(q, k, v, causal=causal)
-        if k.shape[2] >= _FLASH_MIN_KV:
+        if B * H * Sq * Sk * 4 > _FLASH_MIN_LOGITS_BYTES:
             return flash_attention(q, k, v, causal=causal)
     return reference_attention(q, k, v, causal=causal)
 

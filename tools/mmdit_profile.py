@@ -1,0 +1,130 @@
+"""MMDiT component timing on real TPU: where do the 229 ms/CFG-step go?
+
+SD3.5-medium b6 (cfg-batched) @512px: S_x=1024 latent + S_c=77 context
+tokens, dim 1536, 24 heads x hd 64, depth 24.  Matmul roofline ~51 ms
+-> measured 229 ms = ~22% MFU; this tool isolates the gap.
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timed(name, fn, *args, iters=5):
+    t0 = time.perf_counter()
+    out = fn(*args)
+    _ = float(np.asarray(out).ravel()[0])
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    outs = [fn(*args) for _ in range(iters)]
+    _ = float(np.asarray(outs[-1]).ravel()[0])
+    ms = (time.perf_counter() - t0) / iters * 1000
+    print(f"{name:<46} compile {compile_s:5.1f}s  {ms:8.2f} ms/iter",
+          flush=True)
+    return ms
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from bsc_nav_tpu.models import mmdit as M
+    from bsc_nav_tpu.ops import flash_attention as FA
+
+    print("devices:", jax.devices(), flush=True)
+    cfg = M.SD35_MEDIUM
+    params = M.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    B, Sx, Sc, D, h, hd = 6, 1024, 77, cfg.dim, cfg.heads, cfg.head_dim
+    S = Sx + Sc
+
+    lat = jax.random.normal(jax.random.PRNGKey(1), (B, 64, 64, 16),
+                            jnp.bfloat16)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (B, Sc, cfg.context_dim),
+                            jnp.bfloat16)
+    pool = jax.random.normal(jax.random.PRNGKey(3), (B, cfg.pooled_dim),
+                             jnp.bfloat16)
+    t = jnp.full((B,), 0.5, jnp.bfloat16)
+
+    def full(p, lat):
+        return jnp.sum(M.forward(p, lat, t, ctx, pool, cfg
+                                 ).astype(jnp.float32))
+    t_full = timed("full forward (1 step, B=6)", jax.jit(full),
+                   params, lat)
+
+    q = jax.random.normal(jax.random.PRNGKey(4), (B, h, S, hd),
+                          jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(5), (B, h, S, hd),
+                          jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(6), (B, h, S, hd),
+                          jnp.bfloat16)
+
+    def att24(attfn, q, k, v):
+        o = v
+        for _ in range(24):
+            o = attfn(q, k, o)
+        return jnp.sum(o.astype(jnp.float32))
+
+    timed("attention x24 dispatch (flash, S=1101)",
+          jax.jit(lambda q, k, v: att24(FA.attention, q, k, v)), q, k, v)
+    timed("attention x24 XLA einsum",
+          jax.jit(lambda q, k, v: att24(FA.reference_attention, q, k, v)),
+          q, k, v)
+
+    x = jax.random.normal(jax.random.PRNGKey(7), (B, Sx, D), jnp.bfloat16)
+    cx = jax.random.normal(jax.random.PRNGKey(8), (B, Sc, D), jnp.bfloat16)
+    blk = params["blocks"][0]
+
+    def matmul_stack(x, cx):
+        for _ in range(24):
+            for stream, xx in (("x", x), ("ctx", cx)):
+                s = blk[stream]
+                y = M._linear(xx, s["qkv"])[..., :D]
+                y = M._linear(y, s["proj"])
+                y = M._linear(jax.nn.gelu(M._linear(y, s["fc1"]),
+                                          approximate=True), s["fc2"])
+                if stream == "x":
+                    x = x + y
+                else:
+                    cx = cx + y
+        return jnp.sum(x.astype(jnp.float32)) + jnp.sum(
+            cx.astype(jnp.float32))
+    timed("matmul-only stack x24 (qkv+proj+mlp, both streams)",
+          jax.jit(matmul_stack), x, cx)
+
+    def qkv_transposes(x, cx):
+        for _ in range(24):
+            qx, kx, vx = M._stream_qkv(x, blk["x"], cfg)
+            qc, kc, vc = M._stream_qkv(cx, blk["ctx"], cfg)
+            qq = jnp.concatenate([qc, qx], axis=2)
+            x = x + qq.transpose(0, 2, 1, 3).reshape(B, S, D)[:, Sc:]
+        return jnp.sum(x.astype(jnp.float32))
+    timed("qkv+qknorm+transpose+concat x24",
+          jax.jit(qkv_transposes), x, cx)
+
+    def norms_only(x):
+        for _ in range(24 * 2):
+            x = M._pre_norm(x, cfg.ln_eps)
+        return jnp.sum(x.astype(jnp.float32))
+    timed("pre_norm x48 (latent stream)", jax.jit(norms_only), x)
+
+    c_emb = jax.random.normal(jax.random.PRNGKey(9), (B, D), jnp.bfloat16)
+
+    def mods_only(c):
+        tot = 0.0
+        for _ in range(24):
+            mx = M._linear(jax.nn.silu(c), blk["x"]["mod"])
+            mc = M._linear(jax.nn.silu(c), blk["ctx"]["mod"])
+            tot = tot + jnp.sum(mx.astype(jnp.float32)) + jnp.sum(
+                mc.astype(jnp.float32))
+        return tot
+    timed("adaLN modulation x24", jax.jit(mods_only), c_emb)
+
+    print(f"\nfull step (cond+uncond fused) should be ~= full forward; "
+          f"full fwd={t_full:.1f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()
