@@ -144,15 +144,19 @@ def flash_attention(q, k, v, causal: bool = False, interpret: bool = False):
 #   - short sequences (encoders, S <= ~640): the one-shot VMEM kernel
 #     below avoids the [B,H,S,S] logits/probs HBM round trip and beats
 #     XLA by ~20% inside the real encoder stack;
-#   - mid sequences: XLA's fused attention wins BIG over the blockwise
-#     Pallas kernel (its grid of tiny [bq,64]x[64,bk] programs runs
-#     sequentially on the one TensorCore).  Measured x8-layer stacks:
-#     S=1101 b6h24: XLA 17.7 ms vs flash 52.4; S=2048: 29 vs 144;
-#     S=4096 b2: 35 vs 188;
-#   - only when the materialized [B,H,S,S] f32 logits would blow HBM
-#     does blockwise flash win: S=8192 b1h24 (6.4 GB): flash 366 ms vs
-#     XLA 1362 ms (spilling).  Dispatch on logits bytes, not S.
+#   - mid sequences (MMDiT joint attention, ~1k-4k): the q-tiled
+#     `mid_attention` kernel (KV resident in VMEM, reused across q
+#     steps) wins isolated (x8 stacks at S=1101 b6h24: mid bq256
+#     14.9 ms vs XLA 18.3 ms) and ties XLA inside the full MMDiT
+#     forward (145.5 vs ~142 ms/b6) -- kept for the isolated win and
+#     the headroom at larger S.  The blockwise flash kernel loses BIG
+#     here (52 ms: a grid of tiny [bq,64]x[64,bk] programs runs
+#     sequentially on the one TensorCore);
+#   - only when the [B,H,S,S] f32 logits would blow HBM/VMEM does
+#     blockwise flash win: S=8192 b1h24 (6.4 GB): flash 366 ms vs XLA
+#     1362 ms (spilling).  Dispatch on logits bytes, not S.
 _SHORT_MAX_KV = 640
+_MID_MAX_KV = 4096            # VMEM: kv f32 2x1 MB + [256, S] logits
 _FLASH_MIN_LOGITS_BYTES = 4e9
 
 
@@ -167,9 +171,64 @@ def attention(q, k, v, causal: bool = False):
         Sk = k.shape[2]
         if Sk <= _SHORT_MAX_KV:
             return short_attention(q, k, v, causal=causal)
+        if not causal and Sk <= _MID_MAX_KV:
+            return mid_attention(q, k, v)
         if B * H * Sq * Sk * 4 > _FLASH_MIN_LOGITS_BYTES:
             return flash_attention(q, k, v, causal=causal)
     return reference_attention(q, k, v, causal=causal)
+
+
+# ---------------------------------------------------------------------------
+# mid-sequence kernel: K/V stay resident in VMEM (their BlockSpec index
+# is constant in the q-step axis, so Mosaic loads them once per (b, h));
+# only q is tiled.  One-shot softmax per q tile -- no online-softmax
+# state, no [B,H,S,S] HBM materialization.
+# ---------------------------------------------------------------------------
+
+def _mid_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, scale: float):
+    q = q_ref[0].astype(jnp.float32) * scale          # [bq, d]
+    k = k_ref[0].astype(jnp.float32)                  # [Sk_p, d]
+    v = v_ref[0].astype(jnp.float32)
+    logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    logits = jnp.where(k_pos < kv_len, logits, _NEG_INF)
+    m = jnp.max(logits, axis=1, keepdims=True)
+    p = jnp.exp(logits - m)
+    out = jnp.dot(p, v, preferred_element_type=jnp.float32)
+    o_ref[0] = (out / jnp.sum(p, axis=1, keepdims=True)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bq", "interpret"))
+def mid_attention(q, k, v, bq: int = 256, interpret: bool = False):
+    """Non-causal attention for 640 < S <= ~4096 (see dispatch notes)."""
+    B, H, Sq, Dh = q.shape
+    Sk = k.shape[2]
+    scale = 1.0 / math.sqrt(Dh)
+    Sq_p = ((Sq + bq - 1) // bq) * bq
+    Sk_p = ((Sk + 127) // 128) * 128
+    qp = jnp.pad(q.reshape(B * H, Sq, Dh), ((0, 0), (0, Sq_p - Sq),
+                                            (0, 0)))
+    kp = jnp.pad(k.reshape(B * H, Sk, Dh), ((0, 0), (0, Sk_p - Sk),
+                                            (0, 0)))
+    vp = jnp.pad(v.reshape(B * H, Sk, Dh), ((0, 0), (0, Sk_p - Sk),
+                                            (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_mid_kernel, kv_len=Sk, scale=scale),
+        grid=(B * H, Sq_p // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, Dh), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sk_p, Dh), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sk_p, Dh), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, Dh), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * H, Sq_p, Dh), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :Sq].reshape(B, H, Sq, Dh)
 
 
 def use_fused_qkv_attention(seq_len: int, heads: int, head_dim: int,

@@ -163,3 +163,18 @@ def test_use_fused_qkv_gate():
     assert not use_fused_qkv_attention(2048, 16, 64)
     assert not use_fused_qkv_attention(261, 15, 64)
     assert not use_fused_qkv_attention(261, 16, 80)
+
+
+def test_mid_attention_matches_reference():
+    """q-tiled KV-resident kernel (interpret mode) vs the jnp oracle,
+    incl. unaligned Sq/Sk and rectangular shapes."""
+    from bsc_nav_tpu.ops.flash_attention import mid_attention
+    for B, H, Sq, Sk in [(2, 3, 300, 300), (1, 2, 1101, 1101),
+                         (1, 2, 130, 700)]:
+        q = mk((B, H, Sq, 64), 40 + Sq)
+        k = mk((B, H, Sk, 64), 41 + Sk)
+        v = mk((B, H, Sk, 64), 42 + Sk)
+        out = mid_attention(q, k, v, interpret=True)
+        exp = reference_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(exp),
+                                   rtol=2e-3, atol=2e-3)
