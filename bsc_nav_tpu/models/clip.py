@@ -45,6 +45,9 @@ class CLIPConfig:
     # tanh-approx GELU (see models/vit.py ViTConfig.gelu_exact: drift is
     # below bf16 noise; erf is VPU-bound on TPU)
     gelu_exact: bool = False
+    # original OpenAI-CLIP checkpoints use quick_gelu = x*sigmoid(1.702x);
+    # MetaCLIP uses plain GELU.  Overrides gelu_exact when True.
+    quick_gelu: bool = False
 
     @property
     def grid(self) -> int:
@@ -113,19 +116,26 @@ def init_params(cfg: CLIPConfig, key, dtype=jnp.float32) -> Dict[str, Any]:
     }
 
 
+def _quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
 def _tower_forward(x, blocks, heads, eps, causal=False,
-                   gelu_exact=False):
+                   gelu_exact=False, quick_gelu=False):
     B, S, D = x.shape
     hd = D // heads
+    if quick_gelu:
+        act = _quick_gelu
+    else:
+        def act(v):
+            return jax.nn.gelu(v, approximate=not gelu_exact)
     for blk in blocks:
         y = layer_norm(x, blk["ln1"], eps)
         att = attention_from_qkv(_linear(y, blk["qkv"]), heads=heads,
                                  causal=causal)
         x = x + _linear(att, blk["proj"])
         y = layer_norm(x, blk["ln2"], eps)
-        x = x + _linear(jax.nn.gelu(_linear(y, blk["fc1"]),
-                                    approximate=not gelu_exact),
-                        blk["fc2"])
+        x = x + _linear(act(_linear(y, blk["fc1"])), blk["fc2"])
     return x
 
 
@@ -141,7 +151,7 @@ def encode_image(params: Dict[str, Any], images: jnp.ndarray,
     x = jnp.concatenate([cls, x], axis=1) + v["pos_embed"][None].astype(x.dtype)
     x = layer_norm(x, v["ln_pre"], cfg.ln_eps)
     x = _tower_forward(x, v["blocks"], cfg.vision_heads, cfg.ln_eps,
-                       gelu_exact=cfg.gelu_exact)
+                       gelu_exact=cfg.gelu_exact, quick_gelu=cfg.quick_gelu)
     x = layer_norm(x[:, 0], v["ln_post"], cfg.ln_eps)
     feats = jnp.einsum("bd,de->be", x, v["proj"],
                        preferred_element_type=jnp.float32)
@@ -159,7 +169,8 @@ def encode_text(params: Dict[str, Any], token_ids: jnp.ndarray,
     t = params["text"]
     x = t["token_embedding"][token_ids] + t["pos_embed"][None]
     x = _tower_forward(x, t["blocks"], cfg.text_heads, cfg.ln_eps,
-                       causal=True, gelu_exact=cfg.gelu_exact)
+                       causal=True, gelu_exact=cfg.gelu_exact,
+                       quick_gelu=cfg.quick_gelu)
     x = layer_norm(x, t["ln_final"], cfg.ln_eps)
     eot = jnp.argmax(token_ids, axis=-1)
     pooled = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
@@ -239,6 +250,87 @@ def convert_openclip(state_dict: Mapping[str, Any], cfg: CLIPConfig,
             "blocks": tower("transformer", cfg.text_layers),
             "ln_final": ln("ln_final", None),
             "proj": jnp.asarray(sd["text_projection"], dtype),
+        },
+        "logit_scale": jnp.asarray(sd["logit_scale"], dtype),
+    }
+
+# --------------------------------------------------------------------------
+# HuggingFace transformers CLIPModel checkpoint conversion
+# --------------------------------------------------------------------------
+
+def convert_clip_hf(state_dict: Mapping[str, Any], cfg: CLIPConfig,
+                    dtype=jnp.float32) -> Dict[str, Any]:
+    """HuggingFace `CLIPModel` state dict -> clip.py params.
+
+    MetaCLIP ships on the Hub in this layout
+    (facebook/metaclip-h14-fullcc2.5b); the reference loads the same
+    weights through open_clip (objnav_benchmark.py:309).  Differences
+    from open_clip handled here: separate q/k/v projections (fused into
+    our [D, 3D] qkv), `pre_layrnorm` (sic) / `post_layernorm` names,
+    nn.Embedding position tables, and [E, W]-shaped projection matrices.
+    NOTE original OpenAI CLIP checkpoints use quick_gelu -- construct the
+    CLIPConfig with quick_gelu=True for those; MetaCLIP uses plain GELU
+    (gelu_exact=True for bit parity).  Parity vs a random-init
+    transformers model is proven in tests/test_hf_converters.py.
+    """
+
+    def _t(x):
+        return x.detach().cpu().numpy() if hasattr(x, "detach") else np.asarray(x)
+
+    sd = {k: _t(v) for k, v in state_dict.items()}
+
+    def ln(prefix):
+        return {"scale": jnp.asarray(sd[prefix + ".weight"], dtype),
+                "bias": jnp.asarray(sd[prefix + ".bias"], dtype)}
+
+    def lin(prefix):
+        return {"w": jnp.asarray(sd[prefix + ".weight"].T, dtype),
+                "b": jnp.asarray(sd[prefix + ".bias"], dtype)}
+
+    def tower(prefix, layers):
+        blocks = []
+        for i in range(layers):
+            p = f"{prefix}.encoder.layers.{i}"
+            qkv_w = np.concatenate(
+                [sd[f"{p}.self_attn.{n}.weight"].T
+                 for n in ("q_proj", "k_proj", "v_proj")], axis=1)
+            qkv_b = np.concatenate(
+                [sd[f"{p}.self_attn.{n}.bias"]
+                 for n in ("q_proj", "k_proj", "v_proj")])
+            blocks.append({
+                "ln1": ln(f"{p}.layer_norm1"),
+                "qkv": {"w": jnp.asarray(qkv_w, dtype),
+                        "b": jnp.asarray(qkv_b, dtype)},
+                "proj": lin(f"{p}.self_attn.out_proj"),
+                "ln2": ln(f"{p}.layer_norm2"),
+                "fc1": lin(f"{p}.mlp.fc1"),
+                "fc2": lin(f"{p}.mlp.fc2"),
+            })
+        return blocks
+
+    conv = sd["vision_model.embeddings.patch_embedding.weight"]
+    w = conv.transpose(2, 3, 1, 0).reshape(-1, cfg.vision_width)
+    return {
+        "visual": {
+            "patch_embed": {"w": jnp.asarray(w, dtype)},
+            "class_embedding": jnp.asarray(
+                sd["vision_model.embeddings.class_embedding"], dtype),
+            "pos_embed": jnp.asarray(
+                sd["vision_model.embeddings.position_embedding.weight"],
+                dtype),
+            "ln_pre": ln("vision_model.pre_layrnorm"),
+            "blocks": tower("vision_model", cfg.vision_layers),
+            "ln_post": ln("vision_model.post_layernorm"),
+            "proj": jnp.asarray(sd["visual_projection.weight"].T, dtype),
+        },
+        "text": {
+            "token_embedding": jnp.asarray(
+                sd["text_model.embeddings.token_embedding.weight"], dtype),
+            "pos_embed": jnp.asarray(
+                sd["text_model.embeddings.position_embedding.weight"], dtype),
+            "blocks": tower("text_model", cfg.text_layers),
+            "ln_final": ln("text_model.final_layer_norm"),
+            "proj": jnp.asarray(sd["text_projection.weight"].T, dtype),
         },
         "logit_scale": jnp.asarray(sd["logit_scale"], dtype),
     }

@@ -89,6 +89,75 @@ def convert_dinov2(state_dict: Mapping[str, Any], cfg: ViTConfig,
     return params
 
 
+def convert_dinov2_hf(state_dict: Mapping[str, Any], cfg: ViTConfig,
+                      dtype=jnp.float32) -> Dict[str, Any]:
+    """HuggingFace `Dinov2WithRegistersModel` state dict -> vit.py params.
+
+    The reference obtains DINOv2 from torch.hub (memory_2.py:43), but the
+    same checkpoints ship on the Hub (facebook/dinov2-with-registers-large)
+    in the transformers layout.  Differences from the hub layout handled
+    here: separate q/k/v projections (fused into our [D, 3D] qkv with
+    q|k|v column blocks), `layer_scale{1,2}.lambda1` names, and the
+    `embeddings.*` prefix.  Parity is proven against a random-init
+    transformers model in tests/test_hf_converters.py.
+    """
+    sd = {k: _t(v) for k, v in state_dict.items()}
+    d = cfg.dim
+
+    def lin(prefix):
+        out = {"w": jnp.asarray(sd[prefix + ".weight"].T, dtype)}
+        if prefix + ".bias" in sd:
+            out["b"] = jnp.asarray(sd[prefix + ".bias"], dtype)
+        return out
+
+    def ln(prefix):
+        return {"scale": jnp.asarray(sd[prefix + ".weight"], dtype),
+                "bias": jnp.asarray(sd[prefix + ".bias"], dtype)}
+
+    w = sd["embeddings.patch_embeddings.projection.weight"]
+    w = w.transpose(2, 3, 1, 0).reshape(-1, d)
+    params: Dict[str, Any] = {
+        "patch_embed": {
+            "w": jnp.asarray(w, dtype),
+            "b": jnp.asarray(
+                sd["embeddings.patch_embeddings.projection.bias"], dtype)},
+        "cls_token": jnp.asarray(sd["embeddings.cls_token"], dtype),
+        "pos_embed": jnp.asarray(sd["embeddings.position_embeddings"], dtype),
+        "norm": ln("layernorm"),
+        "blocks": [],
+    }
+    if "embeddings.register_tokens" in sd and cfg.num_registers:
+        params["reg_token"] = jnp.asarray(
+            sd["embeddings.register_tokens"], dtype)
+
+    for i in range(cfg.depth):
+        p = f"encoder.layer.{i}"
+        qkv_w = np.concatenate(
+            [sd[f"{p}.attention.attention.{n}.weight"].T
+             for n in ("query", "key", "value")], axis=1)
+        qkv_b = np.concatenate(
+            [sd[f"{p}.attention.attention.{n}.bias"]
+             for n in ("query", "key", "value")])
+        blk = {
+            "ln1": ln(f"{p}.norm1"),
+            "qkv": {"w": jnp.asarray(qkv_w, dtype),
+                    "b": jnp.asarray(qkv_b, dtype)},
+            "proj": lin(f"{p}.attention.output.dense"),
+            "ln2": ln(f"{p}.norm2"),
+        }
+        if cfg.ffn == "swiglu":
+            blk["fc1"] = lin(f"{p}.mlp.weights_in")
+            blk["fc2"] = lin(f"{p}.mlp.weights_out")
+        else:
+            blk["fc1"] = lin(f"{p}.mlp.fc1")
+            blk["fc2"] = lin(f"{p}.mlp.fc2")
+        if f"{p}.layer_scale1.lambda1" in sd:
+            blk["ls1"] = jnp.asarray(sd[f"{p}.layer_scale1.lambda1"], dtype)
+            blk["ls2"] = jnp.asarray(sd[f"{p}.layer_scale2.lambda1"], dtype)
+        params["blocks"].append(blk)
+    return params
+
+
 def load_dinov2_npz(path: str, cfg: ViTConfig, dtype=jnp.float32):
     """Load a converted .npz produced by save_params_npz."""
     z = np.load(path)

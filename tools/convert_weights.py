@@ -42,11 +42,18 @@ def _load_torch_state_dict(path: str):
 
 def convert_dinov2_cmd(args):
     from bsc_nav_tpu.models import vit
-    from bsc_nav_tpu.models.weights import convert_dinov2, save_params_npz
+    from bsc_nav_tpu.models.weights import (convert_dinov2,
+                                            convert_dinov2_hf,
+                                            save_params_npz)
 
     cfg = vit.CONFIGS[args.arch]
     sd = _load_torch_state_dict(args.checkpoint)
-    params = convert_dinov2(sd, cfg)
+    # auto-detect layout: torch hub (facebookresearch/dinov2) vs
+    # HuggingFace transformers (facebook/dinov2-with-registers-*)
+    if any(k.startswith("embeddings.") for k in sd):
+        params = convert_dinov2_hf(sd, cfg)
+    else:
+        params = convert_dinov2(sd, cfg)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     save_params_npz(params, args.out)
     print(f"wrote {args.out}")
@@ -58,7 +65,12 @@ def convert_clip_cmd(args):
 
     cfg = C.CONFIGS[args.arch]
     sd = _load_torch_state_dict(args.checkpoint)
-    params = C.convert_openclip(sd, cfg)
+    # auto-detect layout: open_clip vs HuggingFace CLIPModel
+    # (facebook/metaclip-h14-fullcc2.5b ships in the latter)
+    if any(k.startswith("vision_model.") for k in sd):
+        params = C.convert_clip_hf(sd, cfg)
+    else:
+        params = C.convert_openclip(sd, cfg)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     save_params_npz(params, args.out)
     print(f"wrote {args.out}")
