@@ -40,6 +40,25 @@ def annotate(img: np.ndarray, detections) -> np.ndarray:
 
 
 def build_detector(args, classes):
+    if args.detector == "grounding-dino":
+        import jax.numpy as jnp
+        from bsc_nav_tpu.models import grounding_dino as G
+        from bsc_nav_tpu.models.weights import unflatten_params
+        from bsc_nav_tpu.models.wordpiece import WordPieceTokenizer
+
+        if not args.weights_dir:
+            raise SystemExit("--detector grounding-dino needs "
+                             "--weights-dir with grounding_dino_tiny.npz "
+                             "and bert vocab.txt")
+        z = np.load(os.path.join(args.weights_dir,
+                                 "grounding_dino_tiny.npz"))
+        params = unflatten_params({k: jnp.asarray(v) for k, v in
+                                   z.items()})
+        tok = WordPieceTokenizer.from_vocab_file(
+            os.path.join(args.weights_dir, "vocab.txt"))
+        return G.GroundingDinoDetector(
+            params, G.GROUNDING_DINO_TINY, classes, tokenizer=tok,
+            confidence=args.confidence)
     if args.weights_dir:
         import jax.numpy as jnp
         from bsc_nav_tpu.models import clip as C
@@ -76,6 +95,10 @@ def main(argv=None):
     p.add_argument("--out", default="annotated.png")
     p.add_argument("--confidence", type=float, default=0.3)
     p.add_argument("--weights-dir", default=None)
+    p.add_argument("--detector", default="yolo-world",
+                   choices=["yolo-world", "grounding-dino"],
+                   help="open-vocab detector backend (reference "
+                        "gdino.py:44-68 demo role)")
     args = p.parse_args(argv)
 
     classes = [c.strip().rstrip(".") for c in args.classes.split(".")

@@ -120,6 +120,17 @@ def convert_yolo_cmd(args):
     print(f"wrote {args.out}")
 
 
+def convert_gdino_cmd(args):
+    from bsc_nav_tpu.models import grounding_dino as G
+    from bsc_nav_tpu.models.weights import save_params_npz
+
+    sd = _load_maybe_safetensors(args.checkpoint)
+    params = G.convert_hf(sd, G.GROUNDING_DINO_TINY)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    save_params_npz(params, args.out)
+    print(f"wrote {args.out}")
+
+
 def convert_qwen_vl_cmd(args):
     """HF Qwen2.5-VL checkpoint dir -> qwen_vl.npz (+ the dir keeps its
     tokenizer files for agents/local_vlm.load_local_vlm)."""
@@ -207,6 +218,13 @@ def main(argv=None):
                     help="HF Qwen2.5-VL-3B-Instruct dir (safetensors)")
     qv.add_argument("--out", required=True)
     qv.set_defaults(fn=convert_qwen_vl_cmd)
+
+    gd = sub.add_parser("grounding-dino")
+    gd.add_argument("--checkpoint", required=True,
+                    help="HF IDEA-Research/grounding-dino-tiny "
+                         "pytorch_model.bin or .safetensors")
+    gd.add_argument("--out", required=True)
+    gd.set_defaults(fn=convert_gdino_cmd)
 
     v = sub.add_parser("verify-dinov2")
     v.add_argument("--npz", required=True)
