@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 
 from bsc_nav_tpu.models.vit import _linear, layer_norm
-from bsc_nav_tpu.ops.flash_attention import attention
+from bsc_nav_tpu.ops.flash_attention import (
+    attention, joint_qkv_attention, use_joint_qkv_attention)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -164,16 +165,30 @@ def _joint_block(x, ctx, c, blk, cfg: MMDiTConfig):
     xn = _modulate(_pre_norm(x, cfg.ln_eps), mods["x"][0], mods["x"][1])
     cn = _modulate(_pre_norm(ctx, cfg.ln_eps), mods["ctx"][0], mods["ctx"][1])
 
-    qx, kx, vx = _stream_qkv(xn, blk["x"], cfg)
-    qc, kc, vc = _stream_qkv(cn, blk["ctx"], cfg)
-    Sx = x.shape[1]
-    q = jnp.concatenate([qc, qx], axis=2)
-    k = jnp.concatenate([kc, kx], axis=2)
-    v = jnp.concatenate([vc, vx], axis=2)
-    att = attention(q, k, v)                          # [B, H, Sc+Sx, hd]
-    att = att.transpose(0, 2, 1, 3).reshape(
-        x.shape[0], -1, cfg.dim)
-    att_c, att_x = att[:, :ctx.shape[1]], att[:, ctx.shape[1]:]
+    Sx, Sc = x.shape[1], ctx.shape[1]
+    if use_joint_qkv_attention(Sx + Sc, cfg.heads, cfg.head_dim,
+                               cfg.qk_norm):
+        # fused path: attention reads head column-blocks straight from
+        # the [B, S, 3D] qkv matmul outputs (x rows first) and applies
+        # the per-stream RMS qk-norm in kernel -- no head transposes,
+        # no 4-D concats (ops/flash_attention.joint_qkv_attention)
+        qkv_xa = _linear(xn, blk["x"]["qkv"])
+        qkv_ca = _linear(cn, blk["ctx"]["qkv"])
+        att = joint_qkv_attention(
+            qkv_xa, qkv_ca, cfg.heads, blk["x"]["q_norm"],
+            blk["x"]["k_norm"], blk["ctx"]["q_norm"],
+            blk["ctx"]["k_norm"], eps=1e-6)
+        att_x, att_c = att[:, :Sx], att[:, Sx:]
+    else:
+        qx, kx, vx = _stream_qkv(xn, blk["x"], cfg)
+        qc, kc, vc = _stream_qkv(cn, blk["ctx"], cfg)
+        q = jnp.concatenate([qc, qx], axis=2)
+        k = jnp.concatenate([kc, kx], axis=2)
+        v = jnp.concatenate([vc, vx], axis=2)
+        att = attention(q, k, v)                      # [B, H, Sc+Sx, hd]
+        att = att.transpose(0, 2, 1, 3).reshape(
+            x.shape[0], -1, cfg.dim)
+        att_c, att_x = att[:, :Sc], att[:, Sc:]
 
     x = x + mods["x"][2][:, None] * _linear(att_x, blk["x"]["proj"])
     ctx = ctx + mods["ctx"][2][:, None] * _linear(att_c, blk["ctx"]["proj"])

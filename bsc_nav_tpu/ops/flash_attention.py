@@ -450,3 +450,114 @@ def _qkv_kernel_3in(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, hd: int,
         out = jnp.dot(p, v, preferred_element_type=jnp.float32)
         outs.append(out / jnp.sum(p, axis=1, keepdims=True))
     o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# MMDiT joint attention straight from the two streams' fused qkv matmul
+# outputs: reads 128-lane head-pair column blocks from [B, S, 3D]
+# (x-stream rows first, so tile padding is a maskable suffix), applies
+# the per-stream RMS qk-norm IN KERNEL (f32, VMEM-resident), and writes
+# the [B, S, D] attention output directly -- no head transposes, no 4-D
+# concats, no separate qk-norm passes over HBM.  KV blocks are constant
+# in the q-step axis so Mosaic keeps them resident per (batch, pair).
+# ---------------------------------------------------------------------------
+
+def _joint_qkv_kernel(q_ref, k_ref, v_ref, g_ref, o_ref, *, kv_len: int,
+                      sx: int, hd: int, bq: int, eps: float,
+                      scale: float):
+    i = pl.program_id(2)
+    q = q_ref[0].astype(jnp.float32)                  # [bq, 2*hd]
+    k = k_ref[0].astype(jnp.float32)                  # [Sp, 2*hd]
+    v = v_ref[0].astype(jnp.float32)
+    g = g_ref[...].astype(jnp.float32)                # [4, 2*hd]
+
+    def _norm(t, pos, g_x, g_c):
+        halves = []
+        for h in range(2):
+            th = t[:, h * hd:(h + 1) * hd]
+            var = jnp.mean(jnp.square(th), axis=-1, keepdims=True)
+            halves.append(th * jax.lax.rsqrt(var + eps))
+        tn = jnp.concatenate(halves, axis=1)
+        gamma = jnp.where(pos[:, None] < sx, g_x[None, :], g_c[None, :])
+        return tn * gamma
+
+    qpos = i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq,), 0)
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (k.shape[0],), 0)
+    q = _norm(q, qpos, g[0], g[1]) * scale
+    k = _norm(k, kpos, g[2], g[3])
+
+    outs = []
+    for h in range(2):
+        logits = jnp.dot(q[:, h * hd:(h + 1) * hd],
+                         k[:, h * hd:(h + 1) * hd].T,
+                         preferred_element_type=jnp.float32)
+        logits = jnp.where(kpos[None, :] < kv_len, logits, _NEG_INF)
+        m = jnp.max(logits, axis=1, keepdims=True)
+        p = jnp.exp(logits - m)
+        out = jnp.dot(p, v[:, h * hd:(h + 1) * hd],
+                      preferred_element_type=jnp.float32)
+        outs.append(out / jnp.sum(p, axis=1, keepdims=True))
+    o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("heads", "bq", "eps", "interpret"))
+def joint_qkv_attention(qkv_x, qkv_c, heads: int, q_gamma_x, k_gamma_x,
+                        q_gamma_c, k_gamma_c, eps: float = 1e-6,
+                        bq: int = 384, interpret: bool = False):
+    """qkv_x [B, Sx, 3D], qkv_c [B, Sc, 3D]: the two MMDiT streams'
+    fused qkv projections (q|k|v groups, heads contiguous inside each).
+    gammas [hd]: per-stream RMS qk-norm weights.  Returns the joint
+    attention output [B, Sx+Sc, D] with x rows first.
+
+    Requires head_dim 64 and even heads (128-lane blocks); bq must be a
+    multiple of 128 to keep logits lanes aligned."""
+    B, Sx, threeD = qkv_x.shape
+    Sc = qkv_c.shape[1]
+    D = threeD // 3
+    hd = D // heads
+    assert hd == 64 and heads % 2 == 0 and bq % 128 == 0
+    S = Sx + Sc
+    Sp = ((S + bq - 1) // bq) * bq
+    qkv = jnp.concatenate([qkv_x, qkv_c], axis=1)
+    if Sp != S:
+        qkv = jnp.pad(qkv, ((0, 0), (0, Sp - S), (0, 0)))
+
+    gam = jnp.stack([
+        jnp.tile(q_gamma_x.astype(jnp.float32), 2),
+        jnp.tile(q_gamma_c.astype(jnp.float32), 2),
+        jnp.tile(k_gamma_x.astype(jnp.float32), 2),
+        jnp.tile(k_gamma_c.astype(jnp.float32), 2)], axis=0)  # [4, 128]
+
+    W = 2 * hd
+    nq = Sp // bq
+
+    def col_spec(group, blocked_q=False):
+        if blocked_q:
+            return pl.BlockSpec((1, bq, W),
+                                lambda b, p, i: (b, i, p),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec(
+            (1, Sp, W), lambda b, p, i, g=group: (b, 0, (g * D) // W + p),
+            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_joint_qkv_kernel, kv_len=S, sx=Sx, hd=hd,
+                          bq=bq, eps=eps, scale=1.0 / math.sqrt(hd)),
+        grid=(B, heads // 2, nq),
+        in_specs=[col_spec(0, blocked_q=True), col_spec(1), col_spec(2),
+                  pl.BlockSpec((4, W), lambda b, p, i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, bq, W), lambda b, p, i: (b, i, p),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Sp, D), qkv.dtype),
+        interpret=interpret,
+    )(qkv, qkv, qkv, gam)
+    return out[:, :S]
+
+
+def use_joint_qkv_attention(seq_len: int, heads: int, head_dim: int,
+                            qk_norm: bool) -> bool:
+    return (jax.default_backend() == "tpu" and qk_norm
+            and head_dim == 64 and heads % 2 == 0
+            and seq_len <= _MID_MAX_KV)

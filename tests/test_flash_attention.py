@@ -178,3 +178,44 @@ def test_mid_attention_matches_reference():
         exp = reference_attention(q, k, v)
         np.testing.assert_allclose(np.asarray(out), np.asarray(exp),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_joint_qkv_attention_matches_composed_path():
+    """joint_qkv_attention (interpret) == per-stream split/transpose +
+    RMS qk-norm + reference attention on the concatenated sequence."""
+    import jax
+    import jax.numpy as jnp
+    from bsc_nav_tpu.ops import flash_attention as FA
+
+    B, Sx, Sc, heads, hd = 2, 40, 9, 2, 64
+    D = heads * hd
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 6)
+    qkv_x = jax.random.normal(ks[0], (B, Sx, 3 * D), jnp.float32)
+    qkv_c = jax.random.normal(ks[1], (B, Sc, 3 * D), jnp.float32)
+    gqx = jax.random.normal(ks[2], (hd,)) * 0.1 + 1.0
+    gkx = jax.random.normal(ks[3], (hd,)) * 0.1 + 1.0
+    gqc = jax.random.normal(ks[4], (hd,)) * 0.1 + 1.0
+    gkc = jax.random.normal(ks[5], (hd,)) * 0.1 + 1.0
+
+    got = FA.joint_qkv_attention(qkv_x, qkv_c, heads, gqx, gkx, gqc, gkc,
+                                 bq=128, interpret=True)
+
+    def rms(t, g):
+        var = jnp.mean(jnp.square(t), axis=-1, keepdims=True)
+        return t * jax.lax.rsqrt(var + 1e-6) * g
+
+    def split(qkv, S):
+        r = qkv.reshape(B, S, 3, heads, hd)
+        return (r[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+
+    qx, kx, vx = split(qkv_x, Sx)
+    qc, kc, vc = split(qkv_c, Sc)
+    q = jnp.concatenate([rms(qx, gqx), rms(qc, gqc)], axis=2)
+    k = jnp.concatenate([rms(kx, gkx), rms(kc, gkc)], axis=2)
+    v = jnp.concatenate([vx, vc], axis=2)
+    want = FA.reference_attention(q, k, v)
+    want = want.transpose(0, 2, 1, 3).reshape(B, Sx + Sc, D)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
