@@ -177,6 +177,9 @@ class SimConfig:
     eval_episodes: int = 1000
     max_episode_steps: int = 5000
     success_distance: float = 1.0
+    # navmesh recompute on scene change (reference OVONSim env.py:443-469)
+    agent_radius: float = 0.18
+    agent_height: float = 0.88
 
 
 @dataclasses.dataclass(frozen=True)

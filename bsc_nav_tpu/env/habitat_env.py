@@ -120,6 +120,28 @@ class HabitatNavEnv:
             pathfinder=self.sims.pathfinder, agent=self.agent,
             goal_radius=0.3, stop_key="stop")
 
+    def reconfigure_scene(self, scene_path: str,
+                          scene_dataset_config: str = ""):
+        """Load a new scene into the live simulator and recompute the
+        navmesh for the agent's radius/height (reference OVONSim
+        env.py:432-469: reconfigure + NavMeshSettings + recompute on
+        every scene change)."""
+        hs = self._hs
+        self.sims.reconfigure(
+            self._make_cfg(scene_path, scene_dataset_config))
+        settings = hs.nav.NavMeshSettings()
+        settings.set_defaults()
+        sim_cfg = getattr(self.cfg, "sim", None)
+        settings.agent_radius = getattr(sim_cfg, "agent_radius", 0.18)
+        settings.agent_height = getattr(sim_cfg, "agent_height", 0.88)
+        self.sims.recompute_navmesh(self.sims.pathfinder, settings)
+        self.agent = self.sims.initialize_agent(0)
+        self._place(None, False)
+        self.original_state = self.agent.get_state()
+        self.plnner = hs.nav.GreedyGeodesicFollower(
+            pathfinder=self.sims.pathfinder, agent=self.agent,
+            goal_radius=0.3, stop_key="stop")
+
     # --- planning (reference env.py:131-163) ------------------------------
     def get_navigable_point_near(self, circle_center, max_tries: int = 500):
         island = self.plnner.pathfinder.get_island(
@@ -184,10 +206,12 @@ class HabitatEpisodeBenchmarkEnv:
     """
 
     def __init__(self, nav_env: "HabitatNavEnv", episodes: List,
-                 success_distance: float = 1.0):
+                 success_distance: float = 1.0, scene_prefix: str = ""):
         self._nav = nav_env
         self.episodes = episodes
         self.success_distance = success_distance
+        self.scene_prefix = scene_prefix
+        self._current_scene = episodes[0].scene_id if episodes else ""
         self.sim = _HabitatSimFacade(nav_env)
         self._ep_idx = -1
         self.episode_over = False
@@ -224,6 +248,14 @@ class HabitatEpisodeBenchmarkEnv:
         import math
         self._ep_idx += 1
         ep = self.current_episode
+        if ep.scene_id != self._current_scene:
+            # scene change: reload + navmesh recompute (reference
+            # OVONSim env.py:432-469)
+            import os
+            self._nav.reconfigure_scene(
+                os.path.join(self.scene_prefix, ep.scene_id),
+                getattr(ep, "scene_dataset_config", ""))
+            self._current_scene = ep.scene_id
         hs = self._nav._hs
         state = hs.AgentState()
         state.position = np.asarray(ep.start_position, np.float32)
@@ -311,7 +343,8 @@ def build_habitat_world(args, task: str):
                         scene_dataset_config=episodes[0].scene_dataset_config)
     bench = HabitatEpisodeBenchmarkEnv(
         nav, episodes,
-        success_distance=args.success_distance or cfg.sim.success_distance)
+        success_distance=args.success_distance or cfg.sim.success_distance,
+        scene_prefix=args.scene_prefix)
 
     perception = Perception.create(cfg, batch_size=args.batch_size,
                                    compute_dtype=jnp.bfloat16)

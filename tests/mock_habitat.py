@@ -118,6 +118,22 @@ class _Simulator:
                 out[spec.uuid] = np.zeros((h, w), np.int32)
         return out
 
+    def reconfigure(self, config):
+        """Scene swap: new pathfinder seeded from the scene id so tests
+        can observe that the navmesh actually changed."""
+        self.config = config
+        self._agent_cfgs = config.agents
+        self.pathfinder = _PathFinder()
+        self.pathfinder.scene_id = config.sim_cfg.scene_id
+        self.reconfigure_calls = getattr(self, "reconfigure_calls", 0) + 1
+        # agents persist across reconfigure in habitat-sim
+
+    def recompute_navmesh(self, pathfinder, settings):
+        pathfinder.recomputed_with = (settings.agent_radius,
+                                      settings.agent_height)
+        self.recompute_calls = getattr(self, "recompute_calls", 0) + 1
+        return True
+
     def step(self, action):
         agent = self._agents[0]
         spec = self._agent_cfgs[0].action_space[action]
@@ -136,6 +152,16 @@ class _Simulator:
                                 math.cos(yaw / 2))
         # look_up / look_down: pitch untracked in the mock
         return self.get_sensor_observations(0)
+
+
+class NavMeshSettings:
+    def __init__(self):
+        self.agent_radius = 0.0
+        self.agent_height = 0.0
+
+    def set_defaults(self):
+        self.agent_radius = 0.1
+        self.agent_height = 1.5
 
 
 class GreedyGeodesicFollower:
@@ -224,6 +250,7 @@ def install():
 
     nav_mod = types.ModuleType("habitat_sim.nav")
     nav_mod.GreedyGeodesicFollower = GreedyGeodesicFollower
+    nav_mod.NavMeshSettings = NavMeshSettings
     hs.nav = nav_mod
 
     mn = types.ModuleType("magnum")

@@ -183,3 +183,36 @@ def test_sim_facade(hs_mock):
     assert bench.sim.agents[0] is nav.agent
     obs = bench.sim.get_sensor_observations(0)
     assert obs["rgb"].shape[-1] == 4                    # habitat RGBA
+
+
+def test_scene_change_recomputes_navmesh(hs_mock):
+    """OVON-style scene switching: episodes in a new scene reconfigure
+    the simulator and recompute the navmesh with the agent's
+    radius/height (reference OVONSim env.py:432-469)."""
+    from bsc_nav_tpu.config import Config
+    from bsc_nav_tpu.env.habitat_env import (
+        HabitatEpisodeBenchmarkEnv, HabitatNavEnv)
+
+    nav = HabitatNavEnv(Config(), "scenes/a.glb")
+    ep1 = _episode([0, 0, 0], [1, 0, 0])
+    ep1.scene_id = "a.glb"
+    ep2 = _episode([0, 0, 0], [1, 0, 0])
+    ep2.scene_id = "b.glb"
+    bench = HabitatEpisodeBenchmarkEnv(nav, [ep1, ep2],
+                                       scene_prefix="scenes")
+
+    bench.reset()                 # same scene: no reconfigure
+    assert getattr(nav.sims, "reconfigure_calls", 0) == 0
+
+    bench.reset()                 # scene change -> reconfigure + navmesh
+    assert nav.sims.reconfigure_calls == 1
+    assert nav.sims.recompute_calls == 1
+    assert nav.sims.pathfinder.scene_id == "scenes/b.glb"
+    # navmesh recomputed with the configured agent radius/height
+    assert nav.sims.pathfinder.recomputed_with == (
+        Config().sim.agent_radius, Config().sim.agent_height)
+    # follower rebuilt on the NEW pathfinder
+    assert nav.plnner.pathfinder is nav.sims.pathfinder
+
+    bench.reset()                 # wraps to ep1 -> back to scene a
+    assert nav.sims.reconfigure_calls == 2
