@@ -31,6 +31,23 @@ class LocalizeAgent(ObjectNavRobot):
                 np.asarray(topk))
         return centers
 
+    def LocalizeTextPrompts(self, text_prompts, text_aug: bool = True):
+        """Batched variant: all prompts scanned against the store in ONE
+        [VK, D] x [D, Q] pass (memory.voxel_localized_batch)."""
+        if text_aug:
+            text_prompts = [
+                L.retry(lambda t=t: L.imagenary_helper(self.client, t))
+                for t in text_prompts]
+        results = self.memory.voxel_localized_batch(list(text_prompts))
+        centers_out = []
+        for i, (best, topk, sims) in enumerate(results):
+            centers, _, _ = weighted_cluster_centers(topk, sims)
+            np.save(os.path.join(self.save_dir,
+                                 f"best_pos_topK_text_prompt_{i}.npy"),
+                    np.asarray(topk))
+            centers_out.append(centers)
+        return centers_out
+
     def LocalizeImagePrompt(self, img) -> np.ndarray:
         best, topk, sims = self.memory.voxel_localized(img)
         centers, _, _ = weighted_cluster_centers(topk, sims)

@@ -320,6 +320,55 @@ class VoxelTokenMemory:
             return np.zeros((0, 3), int), np.zeros((0, 3), int), scores
         return positions[:1], positions, scores
 
+    def voxel_localized_batch(self, prompts, K: int = 100):
+        """Localize MULTIPLE queries against the store in ONE pass.
+
+        The single-query scan is matvec-limited (one active MXU column,
+        CLAUDE.md perf note); batching turns it into a [VK, D] x [D, Q]
+        matmul so Q queries cost barely more than one.  Each prompt may
+        be a str (runs the imagination model), an image [H, W, 3], or an
+        image group [N, H, W, 3].  Returns a list of
+        (best_pos [1,3], top_k_positions, top_k_similarity) tuples with
+        the same semantics as voxel_localized."""
+        import jax.numpy as jnp
+        from bsc_nav_tpu.memory.query import localize_batch
+
+        self.flush()
+        pooled = []
+        for p in prompts:
+            if isinstance(p, str):
+                imgs = self.imaginary(p)
+            else:
+                arr = np.asarray(p)
+                imgs = arr[None] if arr.ndim == 3 else arr
+            imgs = jnp.asarray(imgs[:, :, :, :3].astype(np.uint8))
+            pooled.append(self.perception.pool_step(
+                self.perception.vit_params, imgs))
+
+        if self.segments is not None and self.segments.num_segments > 1:
+            # segmented scenes: per-query merged top-K across segments
+            self.segments.state = self.state
+            out = []
+            for q in pooled:
+                positions, scores = self.segments.localize(q, top_k=K)
+                out.append((positions[:1], positions, scores)
+                           if len(positions) else
+                           (np.zeros((0, 3), int), np.zeros((0, 3), int),
+                            np.zeros((0,), np.float32)))
+            return out
+
+        positions, scores = localize_batch(
+            self.state, jnp.stack(pooled), top_k=K)
+        positions = np.asarray(positions)
+        scores = np.asarray(scores)
+        out = []
+        for q in range(len(prompts)):
+            live = scores[q] > -np.inf
+            pos, sc = positions[q][live], scores[q][live]
+            out.append((pos[:1], pos, sc) if len(pos) else
+                       (np.zeros((0, 3), int), np.zeros((0, 3), int), sc))
+        return out
+
     # ------------------------------------------------------------------
     # memory construction flows
     # ------------------------------------------------------------------

@@ -129,12 +129,26 @@ def main(argv=None):
         agent = LocalizeAgent(memory, bench, llm_client=extras["llm"],
                               matcher=extras["matcher"],
                               save_dir=args.out_dir)
-        centers = agent.LocalizeTextPrompt(args.goal, text_aug=False)
-        print("cluster centers:", centers)
-        best, topk, sims = memory.voxel_localized(args.goal)
-        render_pointcloud_png(
-            memory.state, os.path.join(args.out_dir, "localize.png"),
-            highlight=topk, centers=centers)
+        goals = [g.strip() for g in args.goal.split(",") if g.strip()]
+        if len(goals) > 1:
+            # multi-goal: ONE batched store pass (voxel_localized_batch)
+            all_centers = agent.LocalizeTextPrompts(goals, text_aug=False)
+            for g, centers in zip(goals, all_centers):
+                print(f"{g}: cluster centers: {centers}")
+            results = memory.voxel_localized_batch(goals)
+            for i, (g, (best, topk, sims)) in enumerate(
+                    zip(goals, results)):
+                render_pointcloud_png(
+                    memory.state,
+                    os.path.join(args.out_dir, f"localize_{i}_{g}.png"),
+                    highlight=topk, centers=all_centers[i])
+        else:
+            centers = agent.LocalizeTextPrompt(goals[0], text_aug=False)
+            print("cluster centers:", centers)
+            best, topk, sims = memory.voxel_localized(goals[0])
+            render_pointcloud_png(
+                memory.state, os.path.join(args.out_dir, "localize.png"),
+                highlight=topk, centers=centers)
         print(f"results saved under {args.out_dir}")
         return
 

@@ -122,3 +122,45 @@ def test_agent_with_segmented_memory():
     best, topk, sims = mem.voxel_localized(obs["rgb"][:, :, :3])
     assert len(topk) > 0
     assert np.isfinite(sims).all()
+
+
+def test_voxel_localized_batch_matches_single():
+    """Agent-level batched localization (one [VK,D]x[D,Q] store pass)
+    returns the same positions/scores as per-query voxel_localized —
+    both on the dense store and on a segmented one."""
+    from bsc_nav_tpu.agents.spatial_memory import (
+        Perception, VoxelTokenMemory)
+    from bsc_nav_tpu.env.fake import FakeNavEnv
+    from bsc_nav_tpu.env.pathfinding import AgentState, Quat
+    from bsc_nav_tpu.models import vit
+    from bsc_nav_tpu.config import QueryConfig
+
+    cfg = tiny_cfg().replace(
+        query=QueryConfig(top_k=8, query_width=28, query_height=28))
+    vit_cfg = vit.ViTConfig(img_size=28, patch_size=14, dim=32, depth=1,
+                            heads=2, num_registers=0)
+
+    for segmented in (False, True):
+        env = FakeNavEnv(cfg, seed=3)
+        env.reset(init_state=AgentState(np.zeros(3), Quat()),
+                  build_map=True)
+        kw = dict(segmented=True, max_device_segments=0) if segmented \
+            else {}
+        mem = VoxelTokenMemory(
+            cfg, env=env,
+            perception=Perception.create(cfg, vit_cfg=vit_cfg,
+                                         batch_size=4), **kw)
+        obs = env.sims.get_sensor_observations(0)
+        for _ in range(2 if segmented else 1):
+            mem.excute(obs, ["turn_left"] * 8 + ["move_forward"] * 2)
+
+        views = [np.asarray(obs["rgb"][:, :, :3]),
+                 np.asarray(env.sims.step("turn_left")[
+                     "rgb"][:, :, :3])]
+        batch = mem.voxel_localized_batch(views, K=8)
+        assert len(batch) == 2
+        for view, (bbest, btopk, bsims) in zip(views, batch):
+            sbest, stopk, ssims = mem.voxel_localized(view, K=8)
+            np.testing.assert_array_equal(btopk, stopk)
+            np.testing.assert_allclose(bsims, ssims, rtol=1e-5,
+                                       atol=1e-6)
