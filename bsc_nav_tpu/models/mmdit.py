@@ -30,7 +30,8 @@ import jax.numpy as jnp
 
 from bsc_nav_tpu.models.vit import _linear, layer_norm
 from bsc_nav_tpu.ops.flash_attention import (
-    attention, joint_qkv_attention, use_joint_qkv_attention)
+    attention, joint_qkv_attention, joint_qkv_attention_tp,
+    use_joint_qkv_attention)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -154,9 +155,15 @@ def _stream_qkv(x, s, cfg: MMDiTConfig):
     return q, k, v
 
 
-def _joint_block(x, ctx, c, blk, cfg: MMDiTConfig):
+def _joint_block(x, ctx, c, blk, cfg: MMDiTConfig, tp_mesh=None):
     """One dual-stream block: both streams contribute tokens to one
-    attention, then mix back into their own residuals."""
+    attention, then mix back into their own residuals.
+
+    tp_mesh: pass the device mesh when params were sharded with
+    parallel/mesh.shard_mmdit_params -- attention then runs
+    tensor-parallel per shard on local heads (the permuted qkv column
+    layout makes the plain reshape path invalid, so the TP branch is
+    mandatory for sharded params)."""
     mods = {}
     for name in ("x", "ctx"):
         m = _linear(jax.nn.silu(c), blk[name]["mod"])
@@ -166,8 +173,16 @@ def _joint_block(x, ctx, c, blk, cfg: MMDiTConfig):
     cn = _modulate(_pre_norm(ctx, cfg.ln_eps), mods["ctx"][0], mods["ctx"][1])
 
     Sx, Sc = x.shape[1], ctx.shape[1]
-    if use_joint_qkv_attention(Sx + Sc, cfg.heads, cfg.head_dim,
-                               cfg.qk_norm):
+    if tp_mesh is not None and tp_mesh.shape.get("mp", 1) > 1:
+        qkv_xa = _linear(xn, blk["x"]["qkv"])
+        qkv_ca = _linear(cn, blk["ctx"]["qkv"])
+        att = joint_qkv_attention_tp(
+            qkv_xa, qkv_ca, cfg.heads, blk["x"]["q_norm"],
+            blk["x"]["k_norm"], blk["ctx"]["q_norm"],
+            blk["ctx"]["k_norm"], mesh=tp_mesh)
+        att_x, att_c = att[:, :Sx], att[:, Sx:]
+    elif use_joint_qkv_attention(Sx + Sc, cfg.heads, cfg.head_dim,
+                                 cfg.qk_norm):
         # fused path: attention reads head column-blocks straight from
         # the [B, S, 3D] qkv matmul outputs (x rows first) and applies
         # the per-stream RMS qk-norm in kernel -- no head transposes,
@@ -221,9 +236,10 @@ def unpatchify_latent(tokens: jnp.ndarray, p: int, h: int, w: int,
 
 def forward(params, latents: jnp.ndarray, t: jnp.ndarray,
             context: jnp.ndarray, pooled: jnp.ndarray,
-            cfg: MMDiTConfig) -> jnp.ndarray:
+            cfg: MMDiTConfig, tp_mesh=None) -> jnp.ndarray:
     """Velocity prediction.  latents [B, H, W, C]; t [B] in [0, 1];
-    context [B, S, context_dim]; pooled [B, pooled_dim]."""
+    context [B, S, context_dim]; pooled [B, pooled_dim].
+    tp_mesh: see _joint_block (params sharded via shard_mmdit_params)."""
     B, H, W, C = latents.shape
     p = cfg.patch_size
 
@@ -238,7 +254,7 @@ def forward(params, latents: jnp.ndarray, t: jnp.ndarray,
     c = temb + pemb
 
     for blk in params["blocks"]:
-        x, ctx = _joint_block(x, ctx, c, blk, cfg)
+        x, ctx = _joint_block(x, ctx, c, blk, cfg, tp_mesh=tp_mesh)
 
     shift, scale = jnp.split(
         _linear(jax.nn.silu(c), params["final_mod"]), 2, axis=-1)

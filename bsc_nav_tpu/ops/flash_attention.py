@@ -561,3 +561,76 @@ def use_joint_qkv_attention(seq_len: int, heads: int, head_dim: int,
     return (jax.default_backend() == "tpu" and qk_norm
             and head_dim == 64 and heads % 2 == 0
             and seq_len <= _MID_MAX_KV)
+
+
+def joint_qkv_reference(qkv_x, qkv_c, heads: int, q_gamma_x, k_gamma_x,
+                        q_gamma_c, k_gamma_c, eps: float = 1e-6):
+    """Composed-op joint attention from fused qkv activations (CPU /
+    odd-shape fallback and the kernel's oracle): split + RMS qk-norm +
+    softmax attention over [x | ctx] rows."""
+    B, Sx, threeD = qkv_x.shape
+    Sc = qkv_c.shape[1]
+    D = threeD // 3
+    hd = D // heads
+
+    def rms(t, g):
+        tf = t.astype(jnp.float32)
+        var = jnp.mean(jnp.square(tf), axis=-1, keepdims=True)
+        return (tf * jax.lax.rsqrt(var + eps)
+                * g.astype(jnp.float32)).astype(t.dtype)
+
+    def split(qkv, S):
+        r = qkv.reshape(B, S, 3, heads, hd)
+        return (r[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+
+    qx, kx, vx = split(qkv_x, Sx)
+    qc, kc, vc = split(qkv_c, Sc)
+    q = jnp.concatenate([rms(qx, q_gamma_x), rms(qc, q_gamma_c)], axis=2)
+    k = jnp.concatenate([rms(kx, k_gamma_x), rms(kc, k_gamma_c)], axis=2)
+    v = jnp.concatenate([vx, vc], axis=2)
+    out = reference_attention(q, k, v)
+    return out.transpose(0, 2, 1, 3).reshape(B, Sx + Sc, D)
+
+
+def joint_qkv_dispatch(qkv_x, qkv_c, heads: int, q_gamma_x, k_gamma_x,
+                       q_gamma_c, k_gamma_c, eps: float = 1e-6):
+    D = qkv_x.shape[-1] // 3
+    hd = D // heads
+    if use_joint_qkv_attention(qkv_x.shape[1] + qkv_c.shape[1], heads,
+                               hd, True):
+        return joint_qkv_attention(qkv_x, qkv_c, heads, q_gamma_x,
+                                   k_gamma_x, q_gamma_c, k_gamma_c,
+                                   eps=eps)
+    return joint_qkv_reference(qkv_x, qkv_c, heads, q_gamma_x, k_gamma_x,
+                               q_gamma_c, k_gamma_c, eps=eps)
+
+
+def joint_qkv_attention_tp(qkv_x, qkv_c, heads: int, q_gamma_x,
+                           k_gamma_x, q_gamma_c, k_gamma_c, mesh,
+                           axis: str = "mp", eps: float = 1e-6):
+    """Tensor-parallel MMDiT joint attention: both streams' qkv
+    activations sharded on the last axis over `axis` in the head-blocked
+    TP layout (qkv_tp_permutation applied to the qkv weights by
+    parallel/mesh.shard_mmdit_params).  Each shard runs the fused kernel
+    (or the composed fallback) on its local heads; zero collectives
+    inside -- the row-parallel proj matmul downstream carries the psum.
+    qk-norm gammas are per-head-channel and replicated."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mp = mesh.shape[axis]
+    assert heads % mp == 0, (heads, mp)
+    batch_axis = ("dp" if "dp" in mesh.axis_names
+                  and qkv_x.shape[0] % mesh.shape["dp"] == 0 else None)
+
+    def _local(ax, ac, gqx, gkx, gqc, gkc):
+        return joint_qkv_dispatch(ax, ac, heads // mp, gqx, gkx, gqc,
+                                  gkc, eps=eps)
+
+    fn = shard_map(
+        _local, mesh=mesh,
+        in_specs=(P(batch_axis, None, axis), P(batch_axis, None, axis),
+                  P(), P(), P(), P()),
+        out_specs=P(batch_axis, None, axis),
+        check_vma=False)
+    return fn(qkv_x, qkv_c, q_gamma_x, k_gamma_x, q_gamma_c, k_gamma_c)

@@ -89,6 +89,54 @@ def shard_vit_params(params, mesh: Mesh, tp_qkv_layout: bool = False):
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
+def shard_mmdit_params(params, mesh: Mesh):
+    """Tensor-parallel placement of MMDiT params over the mp axis.
+
+    Same Megatron pattern as shard_vit_params, per stream: qkv
+    column-parallel with the head-blocked permutation (the per-shard
+    chunk is [q_heads_s | k_heads_s | v_heads_s] so
+    flash_attention.joint_qkv_attention_tp runs the fused kernel on
+    local heads with zero collectives), attn-proj / fc2 row-parallel,
+    fc1 column-parallel.  adaLN modulation, qk-norm gammas, embeds, and
+    the final head stay replicated (they act on replicated activations
+    around the full-width LayerNorms).  Call mmdit.forward with
+    `tp_mesh=mesh` afterwards."""
+    from bsc_nav_tpu.ops.flash_attention import qkv_tp_permutation
+
+    mp = mesh.shape["mp"]
+    perm = qkv_tp_permutation(
+        params["blocks"][0]["x"]["qkv"]["w"].shape[0], mp
+    ) if mp > 1 else None
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+
+    def path_str(path):
+        return ".".join(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+
+    out = []
+    for path, leaf in flat:
+        name = path_str(path)
+        if ".x." in name or ".ctx." in name:
+            spec = vit_param_spec(name)
+            # modulation + qk-norm act on replicated activations
+            if name.endswith("mod.w") or name.endswith("mod.b") \
+                    or "q_norm" in name or "k_norm" in name:
+                spec = P()
+        else:
+            spec = P()
+        if perm is not None and (name.endswith("qkv.w")
+                                 or name.endswith("qkv.b")):
+            leaf = leaf[..., perm]
+        ok = all(
+            s is None or leaf.shape[i] % mesh.shape[s] == 0
+            for i, s in enumerate(spec + (None,) * (leaf.ndim - len(spec)))
+        ) and len(spec) <= leaf.ndim
+        sharding = NamedSharding(mesh, spec if ok else P())
+        out.append(jax.device_put(leaf, sharding))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def store_sharding(mesh: Mesh) -> Dict[str, P]:
     """Voxel store sharding: the big token arrays shard over mp on the
     capacity axis (the 'long context' axis of this framework, SURVEY

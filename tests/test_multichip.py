@@ -127,3 +127,37 @@ def test_vit_forward_tp_matches_single_device(rng):
         out = fwd(sparams, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_mmdit_tp_matches_single_device(rng):
+    """MMDiT tensor parallelism: params sharded by shard_mmdit_params
+    (head-blocked qkv columns, row-parallel proj/fc2), forward with
+    tp_mesh -> per-shard joint attention with zero collectives.  Output
+    matches the unsharded forward."""
+    import jax
+    import jax.numpy as jnp
+    from bsc_nav_tpu.models import mmdit as MM
+
+    cfg = MM.MMDiTConfig(input_size=8, patch_size=2, in_channels=4,
+                         dim=256, depth=2, heads=4, context_dim=32,
+                         pooled_dim=16)
+    params = MM.init_params(cfg, jax.random.PRNGKey(0))
+    B = 4
+    lat = jnp.asarray(rng.normal(size=(B, 8, 8, 4)).astype(np.float32))
+    ctx = jnp.asarray(rng.normal(size=(B, 5, 32)).astype(np.float32))
+    pool = jnp.asarray(rng.normal(size=(B, 16)).astype(np.float32))
+    t = jnp.full((B,), 0.4, jnp.float32)
+
+    ref = MM.forward(params, lat, t, ctx, pool, cfg)
+
+    mesh = M.make_mesh(dp=2, mp=2)
+    sparams = M.shard_mmdit_params(params, mesh)
+
+    @jax.jit
+    def fwd(p, lat):
+        return MM.forward(p, lat, t, ctx, pool, cfg, tp_mesh=mesh)
+
+    with mesh:
+        out = fwd(sparams, lat)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
