@@ -97,6 +97,25 @@ def main():
         p, x, t, ycfg)[0][0].astype(jnp.float32)))
     rows.append(timed("yolov8x-world b4@640", yfwd, yparams, yimg, ytxt))
 
+    # --- Grounding DINO tiny @800 (full arch: Swin-T + BERT + deform) ----
+    import numpy as np
+    from bsc_nav_tpu.models import grounding_dino as G
+    gcfg = G.GROUNDING_DINO_TINY
+    gparams = G.init_params(gcfg, jax.random.PRNGKey(11),
+                            dtype=jnp.bfloat16)
+    gimg = jax.random.uniform(jax.random.PRNGKey(12), (1, 800, 800, 3),
+                              jnp.bfloat16)
+    ids = np.array([[101] + sum(([7 + i, 1012] for i in range(21)), [])
+                    + [102]], np.int32)
+    attn3d, pos_ids = G.generate_text_masks(ids)
+    gfwd = jax.jit(lambda p, x: jnp.sum(G.forward(
+        p, x, jnp.asarray(ids), jnp.zeros_like(jnp.asarray(ids)),
+        jnp.asarray(attn3d), jnp.asarray(pos_ids.astype(np.int32)),
+        jnp.ones(ids.shape, bool), gcfg)["pred_boxes"].astype(
+            jnp.float32)))
+    rows.append(timed("grounding-dino-tiny b1@800 (21 classes)", gfwd,
+                      gparams, gimg, iters=3))
+
     results["models"] = rows
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "tpu_smoke.last.json")
