@@ -67,6 +67,13 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--scene-prefix", default="")
     p.add_argument("--episode-prefix", default="")
     p.add_argument("--success-distance", type=float, default=None)
+    p.add_argument("--detector", default="auto",
+                   choices=["auto", "clip-patch", "grounding-dino"],
+                   help="long-term-memory detector backend on the "
+                        "habitat path (auto: CLIP-patch when CLIP "
+                        "weights exist; grounding-dino needs "
+                        "grounding_dino_tiny.npz + vocab.txt under "
+                        "--weights-dir)")
 
 
 def fake_config(args) -> Config:

@@ -353,6 +353,22 @@ def build_habitat_world(args, task: str):
     detector = None
     imagination = None
     wd = args.weights_dir
+    if getattr(args, "detector", "auto") == "grounding-dino":
+        from bsc_nav_tpu.models import grounding_dino as G
+        from bsc_nav_tpu.models.wordpiece import WordPieceTokenizer
+
+        if not wd:
+            raise ValueError("--detector grounding-dino needs "
+                             "--weights-dir with grounding_dino_tiny.npz "
+                             "and the BERT vocab.txt")
+        z = np.load(os.path.join(wd, "grounding_dino_tiny.npz"))
+        gparams = unflatten_params({k: jnp.asarray(v) for k, v in
+                                    z.items()})
+        tok = WordPieceTokenizer.from_vocab_file(
+            os.path.join(wd, "vocab.txt"))
+        detector = G.GroundingDinoDetector(
+            gparams, G.GROUNDING_DINO_TINY, HM3D_DETECT_CLASSES,
+            tokenizer=tok, confidence=cfg.detector.confidence)
     clip_npz = wd and os.path.join(wd, cfg.models.clip + ".npz")
     if clip_npz and os.path.exists(clip_npz):
         ccfg = C.CONFIGS[cfg.models.clip]
@@ -362,9 +378,10 @@ def build_habitat_world(args, task: str):
         tok = T.default_tokenizer(
             os.path.join(wd, "bpe_simple_vocab_16e6.txt.gz"))
         matcher = CLIPMatcher(cparams, ccfg, tok)
-        detector = ClipPatchDetector(cparams, ccfg, tok,
-                                     classes=HM3D_DETECT_CLASSES,
-                                     confidence=cfg.detector.confidence)
+        if detector is None:
+            detector = ClipPatchDetector(
+                cparams, ccfg, tok, classes=HM3D_DETECT_CLASSES,
+                confidence=cfg.detector.confidence)
 
     memory = VoxelTokenMemory(cfg, env=nav, perception=perception,
                               detector=detector, imagination=imagination)

@@ -216,3 +216,58 @@ def test_scene_change_recomputes_navmesh(hs_mock):
 
     bench.reset()                 # wraps to ep1 -> back to scene a
     assert nav.sims.reconfigure_calls == 2
+
+
+def test_build_habitat_world_factory(hs_mock, tmp_path):
+    """The driver-facing habitat factory end to end over the mock:
+    dataset parsing -> nav env -> episode benchmark -> perception +
+    memory wiring (reference objnav_benchmark.py:1233-1294 setup role).
+    Uses a tiny synthesized ObjectNav json.gz split."""
+    import gzip
+    import json
+    import types
+
+    from bsc_nav_tpu.env.habitat_env import build_habitat_world
+
+    split = {
+        "episodes": [
+            {"scene_id": "a.glb", "object_category": "sofa",
+             "start_position": [0, 0, 0],
+             "start_rotation": [0, 0, 0, 1],
+             "goals": [{"position": [1.0, 0.0, 0.0],
+                        "object_category": "sofa"}]},
+            {"scene_id": "a.glb", "object_category": "bed",
+             "start_position": [1, 0, 1],
+             "start_rotation": [0, 0, 0, 1],
+             "goals": [{"position": [2.0, 0.0, 0.0],
+                        "object_category": "bed"}]},
+        ]
+    }
+    ep_path = tmp_path / "val.json.gz"
+    with gzip.open(ep_path, "wt", encoding="utf-8") as f:
+        json.dump(split, f)
+
+    args = types.SimpleNamespace(
+        env="habitat", episodes=2, llm="mock", llm_model="gpt-4o",
+        memory_root=str(tmp_path), weights_dir=None, batch_size=2,
+        seed=0, benchmark_dataset="hm3d", scene_prefix=str(tmp_path),
+        episode_prefix=str(ep_path), success_distance=None,
+        use_only_working_memory=False, load_single_floor=False,
+        detector="auto", csv=None, record_video=False,
+        log_root=str(tmp_path))
+
+    cfg, bench, memory, extras = build_habitat_world(args, task="objnav")
+    assert len(bench.episodes) == 2
+    obs = bench.reset()
+    assert "rgb" in obs and "depth" in obs
+    assert bench.current_episode.object_category == "sofa"
+    # memory wired to the same nav env; one small build step works
+    memory.excute(obs, ["turn_left", "move_forward"])
+    memory.flush()
+    assert extras["llm"] is not None
+
+    # grounding-dino without weights must fail loudly, not silently
+    args.detector = "grounding-dino"
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="grounding-dino"):
+        build_habitat_world(args, task="objnav")
