@@ -417,42 +417,53 @@ def _deform_attention(query, value_flat, ref_points, shapes, p, heads,
                + off / points * ref_points[:, :, None, :, None, 2:] * 0.5)
     # loc: [B, Q, heads, L, points, 2] in [0, 1] (x, y)
 
+    # Quad-row bilinear gather: for each level, precompute every cell's
+    # 2x2 neighborhood as ONE concatenated [4*hd] row on a zero-padded
+    # grid, so a single full-lane-width gather per level fetches all
+    # four bilinear corners (vs 4 gathers of quarter-lane hd rows --
+    # measured 4x faster at grounding-dino encoder scale).  Zero padding
+    # realizes grid_sample's padding_mode="zeros"; samples beyond the
+    # 1-px border are masked via the base-cell validity.
     out = jnp.zeros((B, Q, heads, hd), jnp.float32)
     start = 0
     for li, (h, w) in enumerate(shapes):
         vlev = value[:, start:start + h * w]              # [B, hw, nh, hd]
         start += h * w
-        vlev = vlev.transpose(0, 2, 1, 3)                 # [B, nh, hw, hd]
+        vg = vlev.reshape(B, h, w, heads, hd)
+        vp = jnp.pad(vg, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+        quad = jnp.concatenate(
+            [vp[:, :-1, :-1], vp[:, :-1, 1:],
+             vp[:, 1:, :-1], vp[:, 1:, 1:]], axis=-1)
+        quad = quad.reshape(B, (h + 1) * (w + 1), heads, 4 * hd
+                            ).transpose(0, 2, 1, 3)       # [B,nh,HW',4hd]
+
         # torch grid_sample align_corners=False pixel mapping
         x = loc[:, :, :, li, :, 0] * w - 0.5              # [B, Q, nh, P]
         y = loc[:, :, :, li, :, 1] * h - 0.5
         x0 = jnp.floor(x)
         y0 = jnp.floor(y)
-        wx = x - x0
-        wy = y - y0
-        acc = 0.0
-        for dy in (0, 1):
-            for dx in (0, 1):
-                xi = x0 + dx
-                yi = y0 + dy
-                valid = ((xi >= 0) & (xi <= w - 1)
-                         & (yi >= 0) & (yi <= h - 1))
-                xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
-                yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
-                idx = yi_c * w + xi_c                     # [B, Q, nh, P]
-                # gather per (batch, head): [B, nh, Q*P] indices
-                g = jnp.take_along_axis(
-                    vlev[:, :, :, None],                  # [B, nh, hw, 1, hd]
-                    idx.transpose(0, 2, 1, 3).reshape(B, heads, -1)[
-                        :, :, :, None, None],
-                    axis=2)                               # [B,nh,Q*P,1,hd]
-                g = g[:, :, :, 0].reshape(B, heads, Q, points, hd)
-                wgt = (jnp.where(dx, wx, 1 - wx)
-                       * jnp.where(dy, wy, 1 - wy)
-                       * valid)                           # [B, Q, nh, P]
-                acc = acc + g * wgt.transpose(0, 2, 1, 3)[..., None]
-        out = out + jnp.einsum("bhqpd,bqhp->bqhd", acc,
-                               aw[:, :, :, li])
+        wx = (x - x0).astype(jnp.float32)
+        wy = (y - y0).astype(jnp.float32)
+        valid = ((x0 >= -1) & (x0 <= w - 1)
+                 & (y0 >= -1) & (y0 <= h - 1)).astype(jnp.float32)
+        a = jnp.clip(y0 + 1, 0, h).astype(jnp.int32)
+        b = jnp.clip(x0 + 1, 0, w).astype(jnp.int32)
+        idx = a * (w + 1) + b                             # [B, Q, nh, P]
+
+        rows = jnp.take_along_axis(
+            quad[:, :, :, None],                          # [B,nh,HW',1,4hd]
+            idx.transpose(0, 2, 1, 3).reshape(B, heads, -1)[
+                :, :, :, None, None],
+            axis=2)                                       # [B,nh,QP,1,4hd]
+        rows = rows[:, :, :, 0].reshape(B, heads, Q, points, 4, hd)
+
+        # corner weights in quad order [(0,0), (0,1), (1,0), (1,1)],
+        # folded with this level's attention weights + base validity
+        cw = jnp.stack([(1 - wy) * (1 - wx), (1 - wy) * wx,
+                        wy * (1 - wx), wy * wx], axis=-1)  # [B,Q,nh,P,4]
+        cw = cw * (valid * aw[:, :, :, li])[..., None]
+        out = out + jnp.einsum("bhqpcd,bqhpc->bqhd",
+                               rows.astype(jnp.float32), cw)
     out = out.reshape(B, Q, D).astype(query.dtype)
     return _lin(out, p["output_proj"])
 

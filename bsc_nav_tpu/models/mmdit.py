@@ -167,7 +167,11 @@ def _joint_block(x, ctx, c, blk, cfg: MMDiTConfig, tp_mesh=None):
     mods = {}
     for name in ("x", "ctx"):
         m = _linear(jax.nn.silu(c), blk[name]["mod"])
-        mods[name] = jnp.split(m, 6, axis=-1)
+        mods[name] = jnp.split(m, m.shape[-1] // cfg.dim, axis=-1)
+    # context_pre_only (the last SD3 block): the ctx stream only feeds
+    # attention k/v through a 2-chunk shift/scale norm (diffusers
+    # AdaLayerNormContinuous) -- no gate, no ctx FFN, ctx not updated
+    ctx_pre_only = len(mods["ctx"]) == 2
 
     xn = _modulate(_pre_norm(x, cfg.ln_eps), mods["x"][0], mods["x"][1])
     cn = _modulate(_pre_norm(ctx, cfg.ln_eps), mods["ctx"][0], mods["ctx"][1])
@@ -206,12 +210,14 @@ def _joint_block(x, ctx, c, blk, cfg: MMDiTConfig, tp_mesh=None):
         att_c, att_x = att[:, :Sc], att[:, Sc:]
 
     x = x + mods["x"][2][:, None] * _linear(att_x, blk["x"]["proj"])
-    ctx = ctx + mods["ctx"][2][:, None] * _linear(att_c, blk["ctx"]["proj"])
 
     xm = _modulate(_pre_norm(x, cfg.ln_eps), mods["x"][3], mods["x"][4])
     x = x + mods["x"][5][:, None] * _linear(
         jax.nn.gelu(_linear(xm, blk["x"]["fc1"]), approximate=True),
         blk["x"]["fc2"])
+    if ctx_pre_only:
+        return x, ctx
+    ctx = ctx + mods["ctx"][2][:, None] * _linear(att_c, blk["ctx"]["proj"])
     cm = _modulate(_pre_norm(ctx, cfg.ln_eps), mods["ctx"][3], mods["ctx"][4])
     ctx = ctx + mods["ctx"][5][:, None] * _linear(
         jax.nn.gelu(_linear(cm, blk["ctx"]["fc1"]), approximate=True),
@@ -313,8 +319,10 @@ def sample(params, key, context, pooled, cfg: MMDiTConfig,
 
 
 # --------------------------------------------------------------------------
-# diffusers SD3Transformer2DModel checkpoint conversion (EXPERIMENTAL
-# until validated against real SD3.5 weights)
+# diffusers SD3Transformer2DModel checkpoint conversion -- forward-parity
+# validated against an independent torch implementation in the diffusers
+# layout (tests/torch_mmdit_oracle.py), incl. the context_pre_only last
+# block, AdaLayerNormContinuous chunk order, and pos_embed center crop
 # --------------------------------------------------------------------------
 
 def convert_sd3(state_dict, cfg: MMDiTConfig, dtype=jnp.float32):
@@ -340,6 +348,16 @@ def convert_sd3(state_dict, cfg: MMDiTConfig, dtype=jnp.float32):
         return {"w": jnp.asarray(sd[f"{prefix}.weight"].T, dtype),
                 "b": jnp.asarray(sd[f"{prefix}.bias"], dtype)}
 
+    def lin_swap2(prefix):
+        """diffusers AdaLayerNormContinuous emits (scale, shift); our
+        _modulate takes (shift, scale) -- swap the output halves."""
+        w = sd[f"{prefix}.weight"]
+        b = sd[f"{prefix}.bias"]
+        half = w.shape[0] // 2
+        w = np.concatenate([w[half:], w[:half]], axis=0)
+        b = np.concatenate([b[half:], b[:half]])
+        return {"w": jnp.asarray(w.T, dtype), "b": jnp.asarray(b, dtype)}
+
     def qkv_packed(q, k, v):
         w = np.concatenate([sd[f"{q}.weight"], sd[f"{k}.weight"],
                             sd[f"{v}.weight"]], axis=0)
@@ -359,6 +377,13 @@ def convert_sd3(state_dict, cfg: MMDiTConfig, dtype=jnp.float32):
             "fc1": lin(f"{b}.ff.net.0.proj"),
             "fc2": lin(f"{b}.ff.net.2"),
         }
+        # context_pre_only last block: norm1_context is a 2-chunk
+        # AdaLayerNormContinuous (scale, shift) -- swap to our order;
+        # the 6-chunk AdaLayerNormZero already matches (shift first)
+        ctx_mod = (lin_swap2(f"{b}.norm1_context.linear")
+                   if sd[f"{b}.norm1_context.linear.weight"].shape[0]
+                   == 2 * cfg.dim
+                   else lin(f"{b}.norm1_context.linear"))
         ctx_stream = {
             "qkv": qkv_packed(f"{b}.attn.add_q_proj", f"{b}.attn.add_k_proj",
                               f"{b}.attn.add_v_proj"),
@@ -366,7 +391,7 @@ def convert_sd3(state_dict, cfg: MMDiTConfig, dtype=jnp.float32):
                      if f"{b}.attn.to_add_out.weight" in sd
                      else {"w": jnp.zeros((cfg.dim, cfg.dim), dtype),
                            "b": jnp.zeros((cfg.dim,), dtype)}),
-            "mod": lin(f"{b}.norm1_context.linear"),
+            "mod": ctx_mod,
             "fc1": (lin(f"{b}.ff_context.net.0.proj")
                     if f"{b}.ff_context.net.0.proj.weight" in sd
                     else {"w": jnp.zeros((cfg.dim, 4 * cfg.dim), dtype),
@@ -391,16 +416,25 @@ def convert_sd3(state_dict, cfg: MMDiTConfig, dtype=jnp.float32):
     p = cfg.patch_size
     conv = sd["pos_embed.proj.weight"]          # [dim, C, p, p]
     patch_w = conv.transpose(2, 3, 1, 0).reshape(-1, cfg.dim)
+    # real checkpoints store pos_embed at pos_embed_max_size^2; center
+    # crop to this config's grid (diffusers PatchEmbed.cropped_pos_embed)
+    pe = sd["pos_embed.pos_embed"]
+    g = cfg.input_size // cfg.patch_size
+    m = int(round(math.sqrt(pe.shape[1])))
+    if m * m == pe.shape[1] and m != g:
+        top = (m - g) // 2
+        pe = pe.reshape(1, m, m, -1)[:, top:top + g,
+                                     top:top + g].reshape(1, g * g, -1)
     return {
         "patch_embed": {"w": jnp.asarray(patch_w, dtype),
                         "b": jnp.asarray(sd["pos_embed.proj.bias"], dtype)},
-        "pos_embed": jnp.asarray(sd["pos_embed.pos_embed"], dtype),
+        "pos_embed": jnp.asarray(pe, dtype),
         "t_embed1": lin("time_text_embed.timestep_embedder.linear_1"),
         "t_embed2": lin("time_text_embed.timestep_embedder.linear_2"),
         "pooled_embed1": lin("time_text_embed.text_embedder.linear_1"),
         "pooled_embed2": lin("time_text_embed.text_embedder.linear_2"),
         "ctx_embed": lin("context_embedder"),
-        "final_mod": lin("norm_out.linear"),
+        "final_mod": lin_swap2("norm_out.linear"),
         "final_out": lin("proj_out"),
         "blocks": blocks,
     }

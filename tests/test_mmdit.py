@@ -2,6 +2,7 @@
 imagination pipeline (tiny configs)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -214,3 +215,40 @@ def test_imagination_with_t5_conditioning():
     # different context tail -> different image)
     out2 = imag("a blue table in the kitchen")
     assert not np.array_equal(out, out2)
+
+
+def test_convert_sd3_forward_parity_vs_torch_oracle():
+    """convert_sd3 over an INDEPENDENT torch implementation in the
+    diffusers SD3Transformer2DModel layout (tests/torch_mmdit_oracle.py):
+    forward parity proves the converter handles the real-checkpoint
+    behaviors — AdaLayerNormContinuous (scale, shift) order, the
+    context_pre_only last block, pos_embed center-crop from
+    pos_embed_max_size², RMS qk-norm, tanh-GELU FFNs."""
+    torch = pytest.importorskip("torch")
+    from torch_mmdit_oracle import SD3TransformerOracle
+
+    torch.manual_seed(0)
+    oracle = SD3TransformerOracle(
+        dim=64, heads=4, depth=3, in_ch=4, patch=2, context_dim=32,
+        pooled_dim=16, pos_embed_max_size=8).eval()
+
+    cfg = M.MMDiTConfig(input_size=8, patch_size=2, in_channels=4,
+                        dim=64, depth=3, heads=4, context_dim=32,
+                        pooled_dim=16)
+    params = M.convert_sd3(oracle.state_dict(), cfg)
+
+    rng = np.random.default_rng(0)
+    lat = rng.standard_normal((2, 8, 8, 4)).astype(np.float32)
+    ctx = rng.standard_normal((2, 5, 32)).astype(np.float32)
+    pool = rng.standard_normal((2, 16)).astype(np.float32)
+    t = np.asarray([0.25, 0.8], np.float32)
+
+    with torch.no_grad():
+        want = oracle(torch.from_numpy(lat.transpose(0, 3, 1, 2)),
+                      torch.from_numpy(t), torch.from_numpy(ctx),
+                      torch.from_numpy(pool)).numpy()
+
+    got = M.forward(params, jnp.asarray(lat), jnp.asarray(t),
+                    jnp.asarray(ctx), jnp.asarray(pool), cfg)
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
