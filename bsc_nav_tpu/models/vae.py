@@ -159,3 +159,82 @@ def decode(params, latents: jnp.ndarray, cfg: VAEConfig) -> jnp.ndarray:
 
 def to_uint8(images: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip((images + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
+
+
+# --------------------------------------------------------------------------
+# diffusers AutoencoderKL (decoder) checkpoint conversion -- forward-
+# parity validated against an independent torch implementation in the
+# diffusers layout (tests/torch_vae_oracle.py)
+# --------------------------------------------------------------------------
+
+def convert_vae_decoder(state_dict, cfg: VAEConfig, dtype=jnp.float32):
+    """diffusers AutoencoderKL state dict -> vae.py decoder params.
+
+    Key layout (decoder half only; the encoder is unused here):
+      decoder.conv_in, decoder.mid_block.{resnets.{0,1}, attentions.0},
+      decoder.up_blocks.{i}.{resnets.{j}, upsamplers.0.conv},
+      decoder.conv_norm_out, decoder.conv_out.
+    Mid attention uses LINEAR q/k/v/out projections in diffusers;
+    mapped onto our 1x1 convs.  Latent scaling/shift stays in decode()
+    (the diffusers pipeline applies it outside the VAE).
+    """
+    import numpy as np
+
+    def _t(x):
+        return (x.detach().cpu().numpy() if hasattr(x, "detach")
+                else np.asarray(x))
+
+    sd = {k: _t(v) for k, v in state_dict.items()}
+
+    def conv(prefix):
+        return {"w": jnp.asarray(sd[f"{prefix}.weight"].transpose(
+                    2, 3, 1, 0), dtype),
+                "b": jnp.asarray(sd[f"{prefix}.bias"], dtype)}
+
+    def lin_as_conv1x1(prefix):
+        w = sd[f"{prefix}.weight"]                     # [cout, cin]
+        return {"w": jnp.asarray(w.T[None, None], dtype),
+                "b": jnp.asarray(sd[f"{prefix}.bias"], dtype)}
+
+    def gn(prefix):
+        return {"scale": jnp.asarray(sd[f"{prefix}.weight"], dtype),
+                "bias": jnp.asarray(sd[f"{prefix}.bias"], dtype)}
+
+    def resnet(prefix):
+        p = {"gn1": gn(f"{prefix}.norm1"), "conv1": conv(f"{prefix}.conv1"),
+             "gn2": gn(f"{prefix}.norm2"), "conv2": conv(f"{prefix}.conv2")}
+        if f"{prefix}.conv_shortcut.weight" in sd:
+            p["skip"] = conv(f"{prefix}.conv_shortcut")
+        return p
+
+    stages = []
+    i = 0
+    while f"decoder.up_blocks.{i}.resnets.0.conv1.weight" in sd:
+        stage = {"res": []}
+        j = 0
+        while f"decoder.up_blocks.{i}.resnets.{j}.conv1.weight" in sd:
+            stage["res"].append(
+                resnet(f"decoder.up_blocks.{i}.resnets.{j}"))
+            j += 1
+        if f"decoder.up_blocks.{i}.upsamplers.0.conv.weight" in sd:
+            stage["upconv"] = conv(
+                f"decoder.up_blocks.{i}.upsamplers.0.conv")
+        stages.append(stage)
+        i += 1
+
+    att = "decoder.mid_block.attentions.0"
+    return {
+        "conv_in": conv("decoder.conv_in"),
+        "mid_res1": resnet("decoder.mid_block.resnets.0"),
+        "mid_attn": {
+            "gn": gn(f"{att}.group_norm"),
+            "q": lin_as_conv1x1(f"{att}.to_q"),
+            "k": lin_as_conv1x1(f"{att}.to_k"),
+            "v": lin_as_conv1x1(f"{att}.to_v"),
+            "o": lin_as_conv1x1(f"{att}.to_out.0"),
+        },
+        "mid_res2": resnet("decoder.mid_block.resnets.1"),
+        "stages": stages,
+        "gn_out": gn("decoder.conv_norm_out"),
+        "conv_out": conv("decoder.conv_out"),
+    }

@@ -252,3 +252,29 @@ def test_convert_sd3_forward_parity_vs_torch_oracle():
                     jnp.asarray(ctx), jnp.asarray(pool), cfg)
     got = np.asarray(got).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_convert_vae_decoder_parity_vs_torch_oracle():
+    """convert_vae_decoder over an independent torch AutoencoderKL-layout
+    decoder (tests/torch_vae_oracle.py): forward parity incl. linear->
+    1x1-conv attention mapping, conv_shortcut channel changes, and
+    nearest-upsample+conv stages."""
+    torch = pytest.importorskip("torch")
+    from torch_vae_oracle import VAEDecoderOracle
+
+    torch.manual_seed(0)
+    oracle = VAEDecoderOracle(latent_channels=4, base=16, mults=(1, 2),
+                              blocks_per_stage=2, groups=4).eval()
+
+    cfg = V.VAE_TEST  # latent 4, base 16, mults (1,2), 2 blocks, g4
+    params = V.convert_vae_decoder(oracle.state_dict(), cfg)
+
+    rng = np.random.default_rng(0)
+    z = rng.standard_normal((2, 8, 8, 4)).astype(np.float32)
+    with torch.no_grad():
+        want = oracle(torch.from_numpy(z.transpose(0, 3, 1, 2))).numpy()
+
+    # VAE_TEST has scaling 1.0 / shift 0.0, so decode == raw decoder
+    got = np.asarray(V.decode(params, jnp.asarray(z), cfg))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want,
+                               rtol=2e-4, atol=2e-5)

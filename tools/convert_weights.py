@@ -120,6 +120,17 @@ def convert_yolo_cmd(args):
     print(f"wrote {args.out}")
 
 
+def convert_vae_cmd(args):
+    from bsc_nav_tpu.models import vae as VAE
+    from bsc_nav_tpu.models.weights import save_params_npz
+
+    sd = _load_maybe_safetensors(args.checkpoint)
+    params = VAE.convert_vae_decoder(sd, VAE.SD3_VAE)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    save_params_npz(params, args.out)
+    print(f"wrote {args.out}")
+
+
 def convert_gdino_cmd(args):
     from bsc_nav_tpu.models import grounding_dino as G
     from bsc_nav_tpu.models.weights import save_params_npz
@@ -218,6 +229,13 @@ def main(argv=None):
                     help="HF Qwen2.5-VL-3B-Instruct dir (safetensors)")
     qv.add_argument("--out", required=True)
     qv.set_defaults(fn=convert_qwen_vl_cmd)
+
+    va = sub.add_parser("sd3-vae")
+    va.add_argument("--checkpoint", required=True,
+                    help="diffusers AutoencoderKL .safetensors/.bin "
+                         "(the SD3.5 vae/ subfolder)")
+    va.add_argument("--out", required=True)
+    va.set_defaults(fn=convert_vae_cmd)
 
     gd = sub.add_parser("grounding-dino")
     gd.add_argument("--checkpoint", required=True,
