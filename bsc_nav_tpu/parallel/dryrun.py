@@ -130,6 +130,31 @@ def dryrun_multichip(n_devices: int, devices=None) -> None:
     np.testing.assert_allclose(np.asarray(s_sh), np.asarray(s_ref),
                                rtol=1e-4, atol=1e-5)
 
+    # MMDiT tensor parallelism (imagination model): sharded params +
+    # per-shard joint attention must match the unsharded forward
+    mmdit_ok = ""
+    if mp > 1:
+        from bsc_nav_tpu.models import mmdit as MM
+        mcfg = MM.MMDiTConfig(input_size=8, patch_size=2, in_channels=4,
+                              dim=16 * mp, depth=2, heads=mp * 2,
+                              context_dim=32, pooled_dim=16)
+        mparams = MM.init_params(mcfg, jax.random.PRNGKey(2))
+        lat = jnp.asarray(rng.normal(size=(dp * 2, 8, 8, 4))
+                          .astype(np.float32))
+        mctx = jnp.asarray(rng.normal(size=(dp * 2, 5, 32))
+                           .astype(np.float32))
+        mpool = jnp.asarray(rng.normal(size=(dp * 2, 16))
+                            .astype(np.float32))
+        tvec = jnp.full((dp * 2,), 0.5, jnp.float32)
+        ref = MM.forward(mparams, lat, tvec, mctx, mpool, mcfg)
+        smp = M.shard_mmdit_params(mparams, mesh)
+        with mesh:
+            out = jax.jit(lambda p, l: MM.forward(
+                p, l, tvec, mctx, mpool, mcfg, tp_mesh=mesh))(smp, lat)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+        mmdit_ok = ", mmdit-tp verified"
+
     print(f"dryrun_multichip OK: mesh dp={dp} mp={mp}, "
           f"{n} voxels, top score {float(s[0]):.4f}, "
-          f"distributed top-k verified")
+          f"distributed top-k verified{mmdit_ok}")
