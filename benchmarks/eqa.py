@@ -19,9 +19,15 @@ from bsc_nav_tpu.agents.eqa import EQAAgent
 def main(argv=None):
     p = argparse.ArgumentParser()
     S.add_common_args(p)
-    p.add_argument("--results-json", type=str, default="eqa_results.json")
+    p.add_argument("--results-json", type=str, default=None,
+                   help="answers json (default: next to the CSV, not "
+                        "the cwd)")
     args = p.parse_args(argv)
     csv_path = args.csv or "eqa_results.csv"
+    if args.results_json is None:
+        args.results_json = os.path.join(
+            os.path.dirname(os.path.abspath(csv_path)),
+            "eqa_results.json")
 
     cfg, bench, memory, extras = S.build_world(args, task="eqa")
     robot = EQAAgent(memory, bench, llm_client=extras["llm"],

@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Any, Dict, List, Mapping, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Mapping, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -1186,8 +1186,15 @@ class GroundingDinoDetector:
                 f"{len(self.classes)} classes -- check tokenization")
         self._label_map = jnp.asarray(lm)
 
-        def fwd_scores(p, images):
-            B = images.shape[0]
+        def fwd_scores(p, rgbs_u8):
+            # preprocessing (resize + imagenet normalize) inside the jit:
+            # no eager dispatches on the per-frame path
+            B = rgbs_u8.shape[0]
+            images = rgbs_u8.astype(jnp.float32) / 255.0
+            s = self.image_size
+            if rgbs_u8.shape[1:3] != (s, s):
+                images = jax.image.resize(images, (B, s, s, 3), "bilinear")
+            images = (images - IMAGENET_MEAN) / IMAGENET_STD
             ids = jnp.broadcast_to(self._ids_dev, (B,) +
                                    self._ids_dev.shape[1:])
             out = forward(
@@ -1206,15 +1213,6 @@ class GroundingDinoDetector:
 
         self._fwd = _jax.jit(fwd_scores)
 
-    def _preprocess(self, rgbs: np.ndarray) -> jnp.ndarray:
-        import jax as _jax
-        B = rgbs.shape[0]
-        x = jnp.asarray(rgbs[..., :3], jnp.float32) / 255.0
-        s = self.image_size
-        if rgbs.shape[1:3] != (s, s):
-            x = _jax.image.resize(x, (B, s, s, 3), "bilinear")
-        return (x - IMAGENET_MEAN) / IMAGENET_STD
-
     def detect(self, rgb: np.ndarray):
         return self.detect_batch(rgb[None])[0]
 
@@ -1222,7 +1220,9 @@ class GroundingDinoDetector:
         from bsc_nav_tpu.models.yolo_world import nms
 
         H0, W0 = rgbs.shape[1:3]
-        scores, boxes = self._fwd(self.params, self._preprocess(rgbs))
+        scores, boxes = self._fwd(
+            self.params, jnp.asarray(np.asarray(rgbs)[..., :3],
+                                     dtype=np.uint8))
         scores = np.asarray(scores)
         boxes = np.asarray(boxes)
         results = []
