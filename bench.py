@@ -94,7 +94,10 @@ def main():
     vit_cfg = vit.DINOV2_VITL14_REG if full else vit.ViTConfig(
         img_size=224, patch_size=14, dim=256, depth=2, heads=4,
         num_registers=4)
-    store_dtype = jnp.bfloat16
+    # BENCH_STORE=int8 measures the quantized token store (half HBM,
+    # cosine-exact via int8-row norms); default bf16
+    store_dtype = (jnp.int8 if os.environ.get("BENCH_STORE") == "int8"
+                   else jnp.bfloat16)
     log(f"store bytes: {store_nbytes(cfg.memory, store_dtype)/1e9:.2f} GB")
 
     B = int(os.environ.get("BENCH_BATCH", 32))
@@ -126,6 +129,22 @@ def main():
     base_tf = np.asarray(G.base_axes_transform())
     base2cam = G.base_to_cam_transform(cfg.sensor.sensor_height)
 
+    def np_pose_tf(pose):
+        """pose_vec_to_tf in plain numpy: NO eager jnp ops or tunnel
+        syncs inside the timed loop (CLAUDE.md platform rules)."""
+        q = pose[3:7] / np.linalg.norm(pose[3:7])
+        x, y, z, w = q
+        tf = np.eye(4, dtype=np.float64)
+        tf[:3, :3] = [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+             2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+             2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x),
+             1 - 2 * (x * x + y * y)]]
+        tf[:3, 3] = pose[:3]
+        return tf
+
     def detect_host_post(dev_out, depth_np, poses_np, instances):
         """NMS + long-term instance integration for one batch (runs while
         the NEXT batch computes on device)."""
@@ -136,8 +155,7 @@ def main():
             dets = detector._nms_detections(
                 boxes[b][sel], cls_idx[b][sel], conf[b][sel], H, W)
             if dets:
-                hab = np.asarray(G.pose_vec_to_tf(
-                    jnp.asarray(poses_np[b], jnp.float32)))
+                hab = np_pose_tf(poses_np[b].astype(np.float64))
                 base_pose = base_tf @ hab @ np.linalg.inv(base_tf)
                 cam_tf = base_pose @ base_tf @ base2cam
                 batch_inst += LT.instances_from_detections(

@@ -329,7 +329,10 @@ class VoxelTokenMemory:
         be a str (runs the imagination model), an image [H, W, 3], or an
         image group [N, H, W, 3].  Returns a list of
         (best_pos [1,3], top_k_positions, top_k_similarity) tuples with
-        the same semantics as voxel_localized."""
+        the same semantics as voxel_localized, including the
+        single-floor height mask (the region-radius filter is a
+        per-query agent-position feature -- use voxel_localized for
+        region-restricted searches)."""
         import jax.numpy as jnp
         from bsc_nav_tpu.memory.query import localize_batch
 
@@ -345,12 +348,22 @@ class VoxelTokenMemory:
             pooled.append(self.perception.pool_step(
                 self.perception.vit_params, imgs))
 
+        # same single-floor mask as voxel_localized
+        use_floor = (self.load_single_floor
+                     and self.floor_min_height is not None)
+        floor_kwargs = dict(
+            use_floor=True,
+            floor_range=jnp.asarray(
+                [self.floor_min_height, self.floor_max_height],
+                jnp.int32)) if use_floor else {}
+
         if self.segments is not None and self.segments.num_segments > 1:
             # segmented scenes: per-query merged top-K across segments
             self.segments.state = self.state
             out = []
             for q in pooled:
-                positions, scores = self.segments.localize(q, top_k=K)
+                positions, scores = self.segments.localize(
+                    q, top_k=K, **floor_kwargs)
                 out.append((positions[:1], positions, scores)
                            if len(positions) else
                            (np.zeros((0, 3), int), np.zeros((0, 3), int),
@@ -358,7 +371,7 @@ class VoxelTokenMemory:
             return out
 
         positions, scores = localize_batch(
-            self.state, jnp.stack(pooled), top_k=K)
+            self.state, jnp.stack(pooled), top_k=K, **floor_kwargs)
         positions = np.asarray(positions)
         scores = np.asarray(scores)
         out = []

@@ -99,11 +99,13 @@ def localize(
     return positions, scores
 
 
-@functools.partial(jax.jit, static_argnames=("top_k",))
+@functools.partial(jax.jit, static_argnames=("top_k", "use_floor"))
 def localize_batch(
     state: VoxelStoreState,
     queries: jnp.ndarray,              # [Q, D] pooled query features
     top_k: int = 100,
+    use_floor: bool = False,
+    floor_range: Optional[jnp.ndarray] = None,  # [2] int32 (min_h, max_h)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-K voxels for EVERY query in one store pass.
 
@@ -111,6 +113,8 @@ def localize_batch(
     [VK, D] x [D, Q] matmul, so Q queries cost barely more than one --
     use it whenever more than one goal is localized against the same
     store (two-stage text+image retrieval, batched episode farming).
+    Supports the single-floor height mask like `localize` (the
+    per-query region-radius mask is single-query-only by nature).
     Returns (positions [Q, top_k, 3] int32, scores [Q, top_k] f32)."""
     V1 = state.feat_count.shape[0]
     qn = queries.astype(jnp.float32)
@@ -118,7 +122,11 @@ def localize_batch(
         jnp.linalg.norm(qn, axis=-1, keepdims=True), 1e-12)
     per_voxel = max_cosine_per_voxel_batch(
         state.feats, state.feat_norm, state.feat_count, qn)   # [Q, V1]
-    occupied = jnp.arange(V1)[None] < state.num_voxels
-    per_voxel = jnp.where(occupied, per_voxel, -jnp.inf)
+    mask = jnp.arange(V1)[None] < state.num_voxels
+    if use_floor:
+        h = state.slot_pos[:, 2]
+        mask = mask & ((h >= floor_range[0])
+                       & (h <= floor_range[1]))[None]
+    per_voxel = jnp.where(mask, per_voxel, -jnp.inf)
     scores, idx = jax.lax.top_k(per_voxel, top_k)
     return state.slot_pos[idx], scores

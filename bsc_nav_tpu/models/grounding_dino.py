@@ -1238,9 +1238,10 @@ class GroundingDinoDetector:
             for ci in np.unique(cls_s):
                 m = cls_s == ci
                 for k in nms(xyxy[m], conf_s[m], self.iou_thr):
+                    bx = np.clip(xyxy[m][k],
+                                 0, [W0, H0, W0, H0])   # per-axis
                     dets.append(self._Detection(
                         self.classes[int(ci)], float(conf_s[m][k]),
-                        tuple(np.clip(xyxy[m][k],
-                                      0, max(H0, W0)).tolist())))
+                        tuple(bx.tolist())))
             results.append(dets)
         return results

@@ -120,7 +120,9 @@ class DiffusionImagination:
             return jnp.zeros((1, 1), jnp.int32)    # unused placeholder
         ids = self.t5_tokenizer.encode(text)
         L = 77
-        ids = (ids[:L] + [1] + [0] * L)[:L]         # </s> + pad
+        # HF T5 truncation keeps </s> as the LAST token when the prompt
+        # fills the window; pad with 0 otherwise
+        ids = (ids[:L - 1] + [1] + [0] * L)[:L]
         return jnp.asarray([ids], jnp.int32)
 
     def __call__(self, text: str) -> np.ndarray:

@@ -181,9 +181,10 @@ def _joint_block(x, ctx, c, blk, cfg: MMDiTConfig, tp_mesh=None):
         qkv_xa = _linear(xn, blk["x"]["qkv"])
         qkv_ca = _linear(cn, blk["ctx"]["qkv"])
         att = joint_qkv_attention_tp(
-            qkv_xa, qkv_ca, cfg.heads, blk["x"]["q_norm"],
-            blk["x"]["k_norm"], blk["ctx"]["q_norm"],
-            blk["ctx"]["k_norm"], mesh=tp_mesh)
+            qkv_xa, qkv_ca, cfg.heads,
+            blk["x"].get("q_norm"), blk["x"].get("k_norm"),
+            blk["ctx"].get("q_norm"), blk["ctx"].get("k_norm"),
+            mesh=tp_mesh)
         att_x, att_c = att[:, :Sx], att[:, Sx:]
     elif use_joint_qkv_attention(Sx + Sc, cfg.heads, cfg.head_dim,
                                  cfg.qk_norm):

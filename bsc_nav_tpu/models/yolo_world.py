@@ -493,9 +493,10 @@ class YoloWorldDetector:
             keep = nms(boxes[m], conf[m], self.iou_thr)
             for k in keep:
                 bx = boxes[m][k] * np.array([W0 / s, H0 / s, W0 / s, H0 / s])
+                bx = np.clip(bx, 0, [W0, H0, W0, H0])   # per-axis
                 out.append(Detection(
                     self.classes[int(ci)], float(conf[m][k]),
-                    tuple(np.clip(bx, 0, max(H0, W0)).tolist())))
+                    tuple(bx.tolist())))
         return out
 
 

@@ -574,6 +574,8 @@ def joint_qkv_reference(qkv_x, qkv_c, heads: int, q_gamma_x, k_gamma_x,
     hd = D // heads
 
     def rms(t, g):
+        if g is None:                       # qk-norm disabled
+            return t
         tf = t.astype(jnp.float32)
         var = jnp.mean(jnp.square(tf), axis=-1, keepdims=True)
         return (tf * jax.lax.rsqrt(var + eps)
@@ -594,10 +596,12 @@ def joint_qkv_reference(qkv_x, qkv_c, heads: int, q_gamma_x, k_gamma_x,
 
 def joint_qkv_dispatch(qkv_x, qkv_c, heads: int, q_gamma_x, k_gamma_x,
                        q_gamma_c, k_gamma_c, eps: float = 1e-6):
+    """gammas may be None (qk_norm disabled) -- the Pallas kernel
+    requires qk-norm, so that case uses the composed reference."""
     D = qkv_x.shape[-1] // 3
     hd = D // heads
     if use_joint_qkv_attention(qkv_x.shape[1] + qkv_c.shape[1], heads,
-                               hd, True):
+                               hd, q_gamma_x is not None):
         return joint_qkv_attention(qkv_x, qkv_c, heads, q_gamma_x,
                                    k_gamma_x, q_gamma_c, k_gamma_c,
                                    eps=eps)
@@ -622,6 +626,18 @@ def joint_qkv_attention_tp(qkv_x, qkv_c, heads: int, q_gamma_x,
     assert heads % mp == 0, (heads, mp)
     batch_axis = ("dp" if "dp" in mesh.axis_names
                   and qkv_x.shape[0] % mesh.shape["dp"] == 0 else None)
+
+    if q_gamma_x is None:
+        def _local_nonorm(ax, ac):
+            return joint_qkv_dispatch(ax, ac, heads // mp, None, None,
+                                      None, None, eps=eps)
+        fn = shard_map(
+            _local_nonorm, mesh=mesh,
+            in_specs=(P(batch_axis, None, axis),
+                      P(batch_axis, None, axis)),
+            out_specs=P(batch_axis, None, axis),
+            check_vma=False)
+        return fn(qkv_x, qkv_c)
 
     def _local(ax, ac, gqx, gkx, gqc, gkc):
         return joint_qkv_dispatch(ax, ac, heads // mp, gqx, gkx, gqc,

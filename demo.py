@@ -132,16 +132,22 @@ def main(argv=None):
         goals = [g.strip() for g in args.goal.split(",") if g.strip()]
         if len(goals) > 1:
             # multi-goal: ONE batched store pass (voxel_localized_batch)
-            all_centers = agent.LocalizeTextPrompts(goals, text_aug=False)
-            for g, centers in zip(goals, all_centers):
-                print(f"{g}: cluster centers: {centers}")
+            # and one imagination per goal; centers clustered from the
+            # same results the renders use
+            from bsc_nav_tpu.agents.clustering import (
+                weighted_cluster_centers)
             results = memory.voxel_localized_batch(goals)
             for i, (g, (best, topk, sims)) in enumerate(
                     zip(goals, results)):
+                centers, _, _ = weighted_cluster_centers(topk, sims)
+                print(f"{g}: cluster centers: {centers}")
+                np.save(os.path.join(
+                    args.out_dir, f"best_pos_topK_text_prompt_{i}.npy"),
+                    np.asarray(topk))
                 render_pointcloud_png(
                     memory.state,
                     os.path.join(args.out_dir, f"localize_{i}_{g}.png"),
-                    highlight=topk, centers=all_centers[i])
+                    highlight=topk, centers=centers)
         else:
             centers = agent.LocalizeTextPrompt(goals[0], text_aug=False)
             print("cluster centers:", centers)

@@ -116,6 +116,31 @@ def main():
     rows.append(timed("grounding-dino-tiny b1@800 (21 classes)", gfwd,
                       gparams, gimg, iters=3))
 
+    # --- Qwen2.5-VL 3B (local judge: vision tower + text forward) --------
+    from bsc_nav_tpu.models import qwen_vl as Q
+    qcfg = Q.QWEN25_VL_3B
+    qparams = Q.init_params(qcfg, jax.random.PRNGKey(13),
+                            dtype=jnp.bfloat16)
+    # one 448x448 image -> 32x32 patch grid (HF pixel_values layout)
+    grid = (1, 32, 32)
+    vpatches = jax.random.normal(
+        jax.random.PRNGKey(14),
+        (grid[1] * grid[2],
+         qcfg.vision.in_ch * qcfg.vision.temporal_patch
+         * qcfg.vision.patch ** 2), jnp.bfloat16)
+    qv = jax.jit(lambda p, x: jnp.sum(Q.vision_forward(
+        p["vision"], x, (grid,), qcfg.vision).astype(jnp.float32)))
+    rows.append(timed("qwen2.5-vl-3b vision tower 448px", qv, qparams,
+                      vpatches, iters=3))
+    S = 512
+    emb = jax.random.normal(jax.random.PRNGKey(15),
+                            (1, S, qcfg.text.hidden), jnp.bfloat16)
+    pos = jnp.broadcast_to(jnp.arange(S)[None, None], (3, 1, S))
+    qt = jax.jit(lambda p, e: jnp.sum(Q.text_forward(
+        p, e, pos, qcfg.text).astype(jnp.float32)))
+    rows.append(timed("qwen2.5-vl-3b text fwd S=512", qt, qparams, emb,
+                      iters=3))
+
     results["models"] = rows
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "tpu_smoke.last.json")
