@@ -504,20 +504,31 @@ def _joint_qkv_kernel(q_ref, k_ref, v_ref, g_ref, o_ref, *, kv_len: int,
                    static_argnames=("heads", "bq", "eps", "interpret"))
 def joint_qkv_attention(qkv_x, qkv_c, heads: int, q_gamma_x, k_gamma_x,
                         q_gamma_c, k_gamma_c, eps: float = 1e-6,
-                        bq: int = 384, interpret: bool = False):
+                        bq: int = 0, interpret: bool = False):
     """qkv_x [B, Sx, 3D], qkv_c [B, Sc, 3D]: the two MMDiT streams'
-    fused qkv projections (q|k|v groups, heads contiguous inside each).
+    fused qkv projections (q|k|v groups, heads contiguously inside each).
     gammas [hd]: per-stream RMS qk-norm weights.  Returns the joint
     attention output [B, Sx+Sc, D] with x rows first.
 
     Requires head_dim 64 and even heads (128-lane blocks); bq must be a
-    multiple of 128 to keep logits lanes aligned."""
+    multiple of 128 to keep logits lanes aligned.  bq=0 auto-selects the
+    largest tile <= 512 with the least padding (SD3 S=1101 -> 384,
+    swept vs 128/256; longer T5-conditioned contexts pick their own)."""
     B, Sx, threeD = qkv_x.shape
     Sc = qkv_c.shape[1]
     D = threeD // 3
     hd = D // heads
-    assert hd == 64 and heads % 2 == 0 and bq % 128 == 0
     S = Sx + Sc
+    if bq == 0:
+        # larger q tiles beat padding at equal waste (measured: at
+        # S=1101, bq 384 and 128 pad identically but 384 is 18% faster)
+        # -- take the largest tile whose padding stays under ~15%
+        bq = 128
+        for c in (512, 384, 256):
+            if -(-S // c) * c - S <= max(0.15 * S, 64):
+                bq = c
+                break
+    assert hd == 64 and heads % 2 == 0 and bq % 128 == 0
     Sp = ((S + bq - 1) // bq) * bq
     qkv = jnp.concatenate([qkv_x, qkv_c], axis=1)
     if Sp != S:
