@@ -67,6 +67,10 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--scene-prefix", default="")
     p.add_argument("--episode-prefix", default="")
     p.add_argument("--success-distance", type=float, default=None)
+    p.add_argument("--store-dtype", default="float32",
+                   choices=["float32", "bfloat16", "int8"],
+                   help="token-store precision (int8: half HBM, "
+                        "cosine-exact scores, faster query scans)")
     p.add_argument("--detector", default="auto",
                    choices=["auto", "clip-patch", "grounding-dino"],
                    help="long-term-memory detector backend on the "
@@ -230,9 +234,11 @@ def build_world(args, task: str = "objnav"
                                    batch_size=args.batch_size)
     detector = ColorPrototypeDetector(FAKE_PROTOTYPES, confidence=0.5)
     imagination = SceneImagination(cfg, scene)
+    import jax.numpy as jnp
     memory = VoxelTokenMemory(
         cfg, env=bench.nav_env, perception=perception, detector=detector,
-        imagination=imagination)
+        imagination=imagination,
+        store_dtype=getattr(jnp, args.store_dtype))
 
     extras = {
         "llm": make_llm(args, bench=bench),

@@ -384,7 +384,10 @@ def build_habitat_world(args, task: str):
                 confidence=cfg.detector.confidence)
 
     memory = VoxelTokenMemory(cfg, env=nav, perception=perception,
-                              detector=detector, imagination=imagination)
+                              detector=detector, imagination=imagination,
+                              store_dtype=getattr(
+                                  jnp, getattr(args, "store_dtype",
+                                               "float32")))
     extras = {"llm": make_llm(args), "matcher": matcher,
               "imagination": imagination}
     return cfg, bench, memory, extras
