@@ -161,3 +161,41 @@ def test_mmdit_tp_matches_single_device(rng):
         out = fwd(sparams, lat)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_joint_qkv_kernel_under_shard_map(rng):
+    """The fused joint-qkv Pallas kernel (interpret mode) running
+    per-shard under an mp=2 shard_map matches the replicated reference
+    -- the exact combination real multi-chip MMDiT TP uses."""
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from bsc_nav_tpu.ops import flash_attention as FA
+
+    heads, hd = 4, 64
+    D = heads * hd
+    B, Sx, Sc = 2, 40, 9
+    qkv_x = jnp.asarray(rng.normal(size=(B, Sx, 3 * D)).astype(np.float32))
+    qkv_c = jnp.asarray(rng.normal(size=(B, Sc, 3 * D)).astype(np.float32))
+    gq = jnp.asarray(rng.normal(size=(hd,)).astype(np.float32) * 0.1 + 1)
+    gk = jnp.asarray(rng.normal(size=(hd,)).astype(np.float32) * 0.1 + 1)
+
+    want = FA.joint_qkv_reference(qkv_x, qkv_c, heads, gq, gk, gq, gk)
+
+    mesh = M.make_mesh(dp=1, mp=2)
+    perm = FA.qkv_tp_permutation(D, 2)
+    qkv_x_p = qkv_x[..., perm]
+    qkv_c_p = qkv_c[..., perm]
+
+    def local(ax, ac):
+        return FA.joint_qkv_attention(ax, ac, heads // 2, gq, gk, gq, gk,
+                                      bq=128, interpret=True)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(None, None, "mp"), P(None, None, "mp")),
+                   out_specs=P(None, None, "mp"), check_vma=False)
+    with mesh:
+        got = fn(qkv_x_p, qkv_c_p)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
