@@ -219,7 +219,6 @@ class LocalVLMClient:
         grids = [self.grid] * len(images)
         pos = mm_position_ids(ids, self.cfg.image_token_id, grids,
                               self.cfg.vision.merge)
-        emb = Q.embed_tokens(self.params, jnp.asarray(ids)[None])
         if images:
             patches = np.concatenate(
                 [image_to_patches(im, self.image_size, self.cfg.vision)[0]
@@ -227,9 +226,12 @@ class LocalVLMClient:
             vis = Q.vision_forward(self.params["vision"],
                                    jnp.asarray(patches), grids,
                                    self.cfg.vision)
+            # merge_vision_embeds embeds the tokens internally
             emb = Q.merge_vision_embeds(
                 self.params, jnp.asarray(ids)[None], vis,
                 self.cfg.image_token_id)
+        else:
+            emb = Q.embed_tokens(self.params, jnp.asarray(ids)[None])
         emb = jnp.pad(emb, ((0, 0), (0, max_len - S), (0, 0)))
         pos_p = jnp.pad(jnp.asarray(pos), ((0, 0), (0, 0),
                                            (0, max_len - S)))

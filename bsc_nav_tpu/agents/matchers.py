@@ -36,21 +36,25 @@ class CLIPMatcher:
         self.params, self.cfg, self.tok = clip_params, clip_cfg, tokenizer
         self._C, self._T = C, T
 
+        # params flow through as jit ARGUMENTS -- closing over the
+        # multi-GB CLIP tower would bake it into the lowered program as
+        # constants and kill the tunneled remote compile (CLAUDE.md;
+        # same rule as models/imagination.py)
         self._enc_img = jax.jit(
-            lambda imgs: C.encode_image(
-                clip_params, C.preprocess(imgs, clip_cfg), clip_cfg))
+            lambda p, imgs: C.encode_image(
+                p, C.preprocess(imgs, clip_cfg), clip_cfg))
         self._enc_txt = jax.jit(
-            lambda ids: C.encode_text(clip_params, ids, clip_cfg))
+            lambda p, ids: C.encode_text(p, ids, clip_cfg))
 
     def _embed_text(self, texts: Sequence[str]) -> np.ndarray:
         import jax.numpy as jnp
         ids = self._T.tokenize(list(texts), self.tok)
-        return np.asarray(self._enc_txt(jnp.asarray(ids)))
+        return np.asarray(self._enc_txt(self.params, jnp.asarray(ids)))
 
     def _embed_views(self, views) -> np.ndarray:
         import jax.numpy as jnp
         arr = np.stack([np.asarray(v)[:, :, :3] for v in views]).astype(np.uint8)
-        return np.asarray(self._enc_img(jnp.asarray(arr)))
+        return np.asarray(self._enc_img(self.params, jnp.asarray(arr)))
 
     def score(self, views, prompt) -> np.ndarray:
         """Softmax similarity of each view to the prompt

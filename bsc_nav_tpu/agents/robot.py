@@ -78,22 +78,22 @@ class ObjectNavRobot:
             self.log_dir = log_dir
             os.makedirs(log_dir, exist_ok=True)
 
-    # --- grid <-> world (reference objnav_benchmark.py:452-475) ----------
+    # --- grid <-> world (reference objnav_benchmark.py:452-475; the
+    # formulas live in geometry.py -- single source of truth) ------------
     def _grid2loc(self, grid_id) -> np.ndarray:
-        row, col, _h = float(grid_id[0]), float(grid_id[1]), grid_id[2]
+        from bsc_nav_tpu import geometry as G
         init = self.memory.Env.original_state.position
-        actual_y = init[2] + (row - self.memory.gs // 2) * self.memory.cs
-        actual_x = init[0] + (col - self.memory.gs // 2) * self.memory.cs
+        out = G.grid_to_world_2d(grid_id, init, self.memory.gs,
+                                 self.memory.cs)
         agent_h = self.benchmark_env.sim.agents[0].get_state().position[1]
-        return np.array([actual_x, agent_h + 0.2, actual_y])
+        out[1] = agent_h + 0.2
+        return out
 
     def _loc2grid(self, loc) -> np.ndarray:
-        x, z, y = loc
+        from bsc_nav_tpu import geometry as G
         init = self.memory.Env.original_state.position
-        row = int((y - init[2]) / self.memory.cs + self.memory.gs // 2)
-        col = int((x - init[0]) / self.memory.cs + self.memory.gs // 2)
-        h = int(z / self.memory.cs) - self.memory.minh
-        return np.array([row, col, h])
+        return G.world_to_grid_3d(loc, init, self.memory.gs,
+                                  self.memory.cs, self.memory.minh)
 
     # ------------------------------------------------------------------
     # retrieval stage 1: long-term instance memory

@@ -61,6 +61,16 @@ class Perception:
                 from bsc_nav_tpu.models.weights import load_dinov2_npz
                 vit_params = load_dinov2_npz(weights, vit_cfg)
             else:
+                # loud, not silent: a typo'd weights dir would otherwise
+                # run the full benchmark on noise embeddings and look
+                # like an algorithmic regression (review finding)
+                import sys
+                print(
+                    f"[perception] WARNING: encoder weights not found "
+                    f"({weights!r}) -- using RANDOM-INIT "
+                    f"{cfg.models.encoder} params (fine for tests/fake "
+                    f"worlds, meaningless for real scenes)",
+                    file=sys.stderr)
                 vit_params = vit.init_params(
                     vit_cfg, jax.random.PRNGKey(seed))
         from bsc_nav_tpu.memory.query import gaussian_center_pool
@@ -479,10 +489,9 @@ class VoxelTokenMemory:
         return out
 
     def _grid2loc_2d(self, x: float, y: float, origin: np.ndarray):
-        """Frontier grid cell -> world (memory_2.py:1148-1158)."""
-        actual_y = origin[2] + (x - self.gs // 2) * self.cs
-        actual_x = origin[0] + (y - self.gs // 2) * self.cs
-        return np.array([actual_x, origin[1], actual_y])
+        """Frontier grid cell -> world (memory_2.py:1148-1158); formula
+        shared with geometry.grid_to_world_2d."""
+        return G.grid_to_world_2d((x, y), origin, self.gs, self.cs)
 
     # ------------------------------------------------------------------
     # persistence
@@ -507,7 +516,19 @@ class VoxelTokenMemory:
         self.long_memory_dict = list(meta["long_memory"])
         self.base_height = list(meta["base_height"])
         self.Env.original_state.position = np.asarray(meta["original_pos"])
-        self._inv_init_host = None
+        # rebase the frame chain to the SAVED build-start pose (identity
+        # rotation -- build_map keeps the grid axis-aligned, reference
+        # env.py:66-70): continued ingestion and host detections must
+        # land in the loaded map's coordinates, not the global/current
+        # frame (review finding)
+        pose0 = np.concatenate(
+            [np.asarray(meta["original_pos"], np.float32),
+             np.asarray([0, 0, 0, 1], np.float32)])
+        inv_init = np.asarray(G.initial_base_inverse(
+            jnp.asarray(pose0), jnp.asarray(self._base_tf, jnp.float32)))
+        self.state = self.state.replace(
+            inv_init_base_tf=jnp.asarray(inv_init, jnp.float32))
+        self._inv_init_host = inv_init.astype(np.float64)
         if self.load_single_floor and len(self.base_height):
             n = int(self.state.num_voxels)
             heights = np.asarray(self.state.slot_pos)[:n, 2]

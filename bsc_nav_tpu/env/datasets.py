@@ -37,11 +37,10 @@ def _read_json_maybe_gz(path: str) -> Dict:
 
 
 def _quat_to_yaw(q) -> float:
-    """habitat start_rotation [x, y, z, w] -> yaw about +y."""
-    x, y, z, w = q
-    siny = 2.0 * (w * y + x * z)
-    cosy = 1.0 - 2.0 * (y * y + x * x)
-    return math.atan2(siny, cosy)
+    """habitat start_rotation [x, y, z, w] -> yaw about +y (shared
+    formula: env.pathfinding.Quat.yaw)."""
+    from bsc_nav_tpu.env.pathfinding import Quat
+    return Quat(*q).yaw()
 
 
 def _goal_positions(ep: Dict, goals_by_category: Dict) -> List:

@@ -185,16 +185,26 @@ def load_reference_format(path: str, cfg: MemoryConfig,
 
 # --- fast native snapshot ---------------------------------------------------
 
+def _np_savable(a: np.ndarray) -> np.ndarray:
+    """numpy serializes ml_dtypes bfloat16 as opaque 'V2' (unloadable);
+    store such arrays as f32 and restore the dtype on load."""
+    if a.dtype.kind == "V" or a.dtype.name == "bfloat16":
+        return a.astype(np.float32)
+    return a
+
+
 def save_npz(state: VoxelStoreState, path: str, **extra) -> None:
     """Single-file dense snapshot (much faster than the per-group HDF5
-    contract; intra-framework checkpoint format)."""
+    contract; intra-framework checkpoint format).  Includes the
+    surprise-policy statistics (feat_sum/feat_obs) so the novelty gate
+    survives a snapshot boundary."""
     n = int(state.num_voxels)
     V1 = state.feat_count.shape[0]
     K = state.feats.shape[0] // V1
     np.savez_compressed(
         path,
         num_voxels=n,
-        feats=np.asarray(state.feats)[:n * K],
+        feats=_np_savable(np.asarray(state.feats)[:n * K]),
         feat_norm=np.asarray(state.feat_norm)[:n * K],
         feat_scale=np.asarray(state.feat_scale)[
             :n * K if state.feat_scale.shape[0] > 1 else 1],
@@ -207,6 +217,11 @@ def save_npz(state: VoxelStoreState, path: str, **extra) -> None:
         max_height=np.asarray(state.max_height),
         inv_init_base_tf=np.asarray(state.inv_init_base_tf),
         initialized=np.asarray(state.initialized),
+        dropped_voxels=np.asarray(state.dropped_voxels),
+        feat_sum=np.asarray(state.feat_sum)[
+            :n + 1 if state.feat_sum.shape[0] > 1 else 1],
+        feat_obs=np.asarray(state.feat_obs)[
+            :n + 1 if state.feat_obs.shape[0] > 1 else 1],
         **extra,
     )
 
@@ -233,6 +248,13 @@ def load_npz(path: str, cfg: MemoryConfig, store_dtype=jnp.float32):
     scale_arr = z["feat_scale"] if "feat_scale" in z else None
     if scale_arr is not None and scale_arr.shape[0] > 1:
         state = state.replace(feat_scale=fill("feat_scale", scale_arr))
+    if "feat_sum" in z and z["feat_sum"].shape[0] > 1 \
+            and state.feat_sum.shape[0] > 1:
+        state = state.replace(feat_sum=fill("feat_sum", z["feat_sum"]),
+                              feat_obs=fill("feat_obs", z["feat_obs"]))
+    if "dropped_voxels" in z:
+        state = state.replace(
+            dropped_voxels=jnp.asarray(z["dropped_voxels"]))
     state = state.replace(
         feats=fill("feats", z["feats"]).astype(store_dtype),
         feat_norm=fill("feat_norm", z["feat_norm"]),

@@ -95,20 +95,32 @@ class SegmentedStore:
 
     # ------------------------------------------------------------------
     def _localize_host_segment(self, seg: dict, query: jnp.ndarray,
-                               top_k: int) -> Tuple[np.ndarray, np.ndarray]:
-        """Stream one spilled segment through the device."""
+                               top_k: int, **masks
+                               ) -> Tuple[np.ndarray, np.ndarray]:
+        """Stream one spilled segment through the device, applying the
+        same region/floor masks as the device-side Q.localize."""
         from bsc_nav_tpu.ops.similarity import max_cosine
 
         n, K = seg["n"], seg["K"]
         if n == 0:
             return np.zeros((0, 3), np.int32), np.zeros((0,), np.float32)
-        per_voxel = max_cosine(
+        per_voxel = np.asarray(max_cosine(
             jnp.asarray(seg["feats"]), jnp.asarray(seg["feat_norm"]),
-            jnp.asarray(seg["feat_count"]), query)
+            jnp.asarray(seg["feat_count"]), query))
+        pos = np.asarray(seg["slot_pos"])
+        keep = np.ones((n,), bool)
+        if masks.get("use_region"):
+            d2 = np.sum((pos.astype(np.float64)
+                         - np.asarray(masks["curr_grid"],
+                                      np.float64)[None]) ** 2, axis=-1)
+            keep &= d2 <= float(masks["region_radius"]) ** 2
+        if masks.get("use_floor"):
+            fr = np.asarray(masks["floor_range"])
+            keep &= (pos[:, 2] >= fr[0]) & (pos[:, 2] <= fr[1])
+        per_voxel = np.where(keep, per_voxel[:n], -np.inf)
         k = min(top_k, n)
-        scores, idx = jax.lax.top_k(per_voxel, k)
-        return (np.asarray(seg["slot_pos"])[np.asarray(idx)],
-                np.asarray(scores))
+        idx = np.argsort(-per_voxel)[:k]
+        return pos[idx], per_voxel[idx].astype(np.float32)
 
     def localize(self, query: jnp.ndarray, top_k: int = 100,
                  **masks) -> Tuple[np.ndarray, np.ndarray]:
@@ -124,7 +136,7 @@ class SegmentedStore:
             cands_pos.append(np.asarray(p)[live])
             cands_score.append(np.asarray(s)[live])
         for seg in self.host_segments:
-            p, s = self._localize_host_segment(seg, qn, top_k)
+            p, s = self._localize_host_segment(seg, qn, top_k, **masks)
             live = s > -np.inf
             cands_pos.append(p[live])
             cands_score.append(s[live])

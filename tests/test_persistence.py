@@ -137,3 +137,108 @@ def test_int8_store_roundtrip_and_query(tmp_path):
     p3, sc3 = Q.localize(s_back, jnp.asarray(q), top_k=16)
     np.testing.assert_allclose(np.asarray(sc2), np.asarray(sc3),
                                rtol=0.02, atol=0.01)
+
+
+def test_npz_roundtrip_bfloat16_store(tmp_path):
+    """bfloat16 stores must survive the npz snapshot (numpy serializes
+    ml_dtypes bfloat16 as opaque V2 — saved as f32, dtype restored on
+    load; review finding)."""
+    cfg = small_test_config()
+    state = init_store(cfg.memory, store_dtype=jnp.bfloat16)
+    rgb, depth, poses, tokens = make_frames(cfg, 2, seed=5)
+    key = jax.random.PRNGKey(0)
+    state, _ = ing.ingest_frames(
+        state, jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(poses),
+        jnp.asarray(tokens), key, cfg)
+
+    path = str(tmp_path / "bf16.npz")
+    P.save_npz(state, path)
+    loaded = P.load_npz(path, cfg.memory, store_dtype=jnp.bfloat16)
+    assert loaded.feats.dtype == jnp.bfloat16
+    assert int(loaded.num_voxels) == int(state.num_voxels)
+    n = int(state.num_voxels)
+    K = state.feats.shape[0] // state.feat_count.shape[0]
+    np.testing.assert_allclose(
+        np.asarray(loaded.feats[:n * K], np.float32),
+        np.asarray(state.feats[:n * K], np.float32))
+
+    # ingestion continues after the restore
+    loaded2, _ = ing.ingest_frames(
+        loaded, jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(poses),
+        jnp.asarray(tokens), jax.random.PRNGKey(1), cfg)
+    assert int(loaded2.num_voxels) >= n
+
+
+def test_npz_roundtrip_preserves_surprise_stats(tmp_path):
+    """feat_sum/feat_obs (surprise-policy statistics) survive the
+    snapshot so the novelty gate keeps working after reload."""
+    import dataclasses
+    base = small_test_config()
+    cfg = base.replace(memory=dataclasses.replace(
+        base.memory, replacement="surprise"))
+    state = init_store(cfg.memory)
+    assert state.feat_sum.shape[0] > 1
+    rgb, depth, poses, tokens = make_frames(cfg, 2, seed=6)
+    key = jax.random.PRNGKey(2)
+    state, _ = ing.ingest_frames(
+        state, jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(poses),
+        jnp.asarray(tokens), key, cfg)
+    assert float(jnp.sum(state.feat_obs)) > 0
+
+    path = str(tmp_path / "sup.npz")
+    P.save_npz(state, path)
+    loaded = P.load_npz(path, cfg.memory)
+    n = int(state.num_voxels)
+    np.testing.assert_allclose(np.asarray(loaded.feat_obs[:n + 1]),
+                               np.asarray(state.feat_obs[:n + 1]))
+    np.testing.assert_allclose(np.asarray(loaded.feat_sum[:n + 1]),
+                               np.asarray(state.feat_sum[:n + 1]),
+                               rtol=1e-6)
+
+
+def test_load_memory_rebases_frame_chain(tmp_path):
+    """Loading a saved memory must rebase BOTH the device ingest chain
+    (state.inv_init_base_tf) and the host detection chain
+    (_inv_init_host) to the SAVED build-start pose — otherwise continued
+    mapping lands in global/current-pose coordinates while the loaded
+    voxels are original-pose-relative (review finding)."""
+    from bsc_nav_tpu import geometry as G
+    from bsc_nav_tpu.agents.spatial_memory import (Perception,
+                                                   VoxelTokenMemory)
+    from bsc_nav_tpu.env.fake import FakeNavEnv
+    from bsc_nav_tpu.env.pathfinding import AgentState, Quat
+    from bsc_nav_tpu.models import vit
+    from bsc_nav_tpu.config import QueryConfig
+
+    cfg = small_test_config().replace(
+        query=QueryConfig(top_k=8, query_width=28, query_height=28))
+    start = AgentState(np.asarray([1.5, 0.0, -2.0], np.float32), Quat())
+
+    env = FakeNavEnv(cfg, seed=11)
+    env.reset(init_state=start, build_map=True)
+    vit_cfg = vit.ViTConfig(img_size=28, patch_size=14, dim=32, depth=1,
+                            heads=2, num_registers=0)
+    mem = VoxelTokenMemory(
+        cfg, env=env,
+        perception=Perception.create(cfg, vit_cfg=vit_cfg, batch_size=4))
+    mem.excute(env.sims.get_sensor_observations(0), ["turn_left"] * 4)
+    mem.flush()
+    path = str(tmp_path / "mem")
+    mem.save(path)
+
+    env2 = FakeNavEnv(cfg, seed=11)
+    env2.reset(init_state=AgentState(
+        np.asarray([-3.0, 0.0, 1.0], np.float32), Quat()),
+        build_map=True)
+    mem2 = VoxelTokenMemory(
+        cfg, env=env2, perception=mem.perception, memory_path=path)
+    mem2.load_memory(init_state=start)
+
+    pose0 = np.concatenate([start.position, [0, 0, 0, 1]]).astype(
+        np.float32)
+    expected = np.asarray(G.initial_base_inverse(
+        jnp.asarray(pose0), jnp.asarray(mem2._base_tf, jnp.float32)))
+    np.testing.assert_allclose(
+        np.asarray(mem2.state.inv_init_base_tf), expected, atol=1e-5)
+    np.testing.assert_allclose(mem2._inv_init_host, expected, atol=1e-5)
+    assert not np.allclose(expected, np.eye(4))   # non-trivial rebase

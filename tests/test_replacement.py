@@ -231,3 +231,45 @@ def test_surprise_exact_matches_reference_oracle():
     f3 = np.asarray(dequantized_feats(state3))[:n]
     changed_boring = (np.abs(f3 - f1).max(axis=(1, 2)) > 1e-6).mean()
     assert changed_boring < 0.1, f"boring tokens accepted ({changed_boring})"
+
+
+def test_forgetting_pass_int8_uses_dequantized_means():
+    """int8 stores: codes with DIFFERENT per-token scales must merge in
+    dequantized space and get a fresh scale — averaging raw codes would
+    corrupt the merged feature (review finding)."""
+    cfg = surprise_cfg()
+    K, D = cfg.memory.cache_size, cfg.memory.token_dim
+    state = init_store(cfg.memory, store_dtype=jnp.int8)
+    V1 = state.feat_count.shape[0]
+
+    # two copies of the SAME direction at very different magnitudes ->
+    # same codes, very different scales; true mean = the direction
+    base = np.random.default_rng(1).normal(size=(D,)).astype(np.float32)
+    f1, f2 = base * 0.1, base * 10.0
+    feats = np.zeros((V1, K, D), np.float32)
+    feats[0, 0], feats[0, 1] = f1, f2
+    scales = np.ones((V1, K), np.float32)
+    q = np.zeros((V1, K, D), np.int8)
+    for j, f in ((0, f1), (1, f2)):
+        s = np.abs(f).max() / 127.0
+        scales[0, j] = s
+        q[0, j] = np.clip(np.round(f / s), -127, 127).astype(np.int8)
+    counts = np.zeros_like(np.asarray(state.feat_count))
+    counts[0] = 2
+    norms = np.linalg.norm(q.astype(np.float32), axis=-1)
+
+    state = state.replace(
+        feats=jnp.asarray(q.reshape(V1 * K, D)),
+        feat_scale=jnp.asarray(scales.reshape(V1 * K)),
+        feat_norm=jnp.asarray(norms.reshape(V1 * K)),
+        feat_dist=jnp.zeros((V1 * K,), jnp.float32),
+        feat_count=jnp.asarray(counts))
+
+    out = forgetting_pass(state, threshold=0.95)
+    assert int(out.feat_count[0]) == 1
+    merged = (np.asarray(out.feats)[0].astype(np.float32)
+              * float(out.feat_scale[0]))
+    want = (f1 + f2) / 2
+    # int8 quantization noise ~ absmax/127
+    np.testing.assert_allclose(merged, want,
+                               atol=np.abs(want).max() / 64)
