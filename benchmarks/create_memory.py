@@ -60,16 +60,24 @@ def build_eqa_memories(args, bench, memory) -> set:
                      if os.path.isdir(os.path.join(args.eqa_frames_root, d)))
     if args.episodes:
         ep_dirs = ep_dirs[:args.episodes]
+    current_scene = None
     for name in ep_dirs:
         scene = eqa_scene_from_dirname(name)
         path = os.path.join(args.memory_root, "eqa", scene)
         if path in built or os.path.exists(path):
             print(f"memory exists: {path}")
             continue
+        if args.env == "habitat" and scene != current_scene:
+            # EQA frames span many scenes: load THIS episode's scene
+            # into the live sim before seeding the pose (otherwise every
+            # bundle is built from whatever scene build_world loaded)
+            memory.Env.reconfigure_scene(
+                os.path.join(args.scene_prefix, scene))
+            current_scene = scene
         state = load_eqa_init_state(os.path.join(args.eqa_frames_root, name))
         # island area AT the seeded pose sizes the exploration budget
         # (create_memory_for_eqa.py:76-79)
-        pf = bench.sim.pathfinder
+        pf = memory.Env.plnner.pathfinder
         island = pf.get_island(state.position)
         area = pf.island_area(island)
         n_moves = int(area / 2) + 1

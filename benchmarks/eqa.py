@@ -63,6 +63,15 @@ def main(argv=None):
         if args.env == "fake" and ep.object_category in S.FAKE_COLOR_NAMES:
             truth = S.FAKE_COLOR_NAMES[ep.object_category]
             correct = float(truth.lower() in (answer or "").lower())
+        # record the question in the resume json BEFORE the CSV append:
+        # a crash between the two writes must not re-run the question
+        # and duplicate its CSV row on resume
+        results.append({"question_id": qid, "question": question,
+                        "answer_4o": answer,
+                        **({"ground_truth": truth} if truth else {})})
+        with open(args.results_json, "w") as f:
+            json.dump(results, f, indent=2)
+
         C.write_metrics({
             "success": m["success"], "spl": m["spl"],
             "Ospl": m["oracle_spl"],
@@ -71,12 +80,6 @@ def main(argv=None):
             "id": ep.scene_id, "island": island, "island_area": area,
             **C.nav_telemetry(robot),
         }, csv_path)
-
-        results.append({"question_id": qid, "question": question,
-                        "answer_4o": answer,
-                        **({"ground_truth": truth} if truth else {})})
-        with open(args.results_json, "w") as f:
-            json.dump(results, f, indent=2)
     return results
 
 

@@ -55,11 +55,17 @@ def merge_csvs(paths: List[str], out: str) -> int:
     for path in sorted(paths):
         with open(path, newline="") as f:
             reader = csv.DictReader(f)
-            if fieldnames is None:
-                fieldnames = reader.fieldnames
+            # union headers across shards: workers may rewrite their CSV
+            # with extra columns (write_metrics union-header behavior)
+            for name in reader.fieldnames or []:
+                if fieldnames is None:
+                    fieldnames = []
+                if name not in fieldnames:
+                    fieldnames.append(name)
             rows.extend(reader)
     with open(out, "w", newline="") as f:
-        writer = csv.DictWriter(f, fieldnames=fieldnames or [])
+        writer = csv.DictWriter(f, fieldnames=fieldnames or [],
+                                restval="")
         writer.writeheader()
         for r in rows:
             writer.writerow(r)

@@ -156,7 +156,7 @@ def make_llm(args, bench=None):
         (lambda t: "Decompose the indoor navigation" in t,
          _echo_braced_goal),
         (lambda t: "names a nearby target" in t,
-         lambda t: (_re.search(r"Instruction: ([a-zA-Z ]+?)\\n", t)
+         lambda t: (_re.search(r"Instruction: ([a-zA-Z ]+?)\n", t)
                     or _re.search(r"Instruction: ([a-zA-Z ]+)", t)
                     ).group(1) if _re.search(
                         r"Instruction: ([a-zA-Z ]+)", t) else "a bed"),

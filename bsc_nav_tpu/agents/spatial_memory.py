@@ -61,16 +61,18 @@ class Perception:
                 from bsc_nav_tpu.models.weights import load_dinov2_npz
                 vit_params = load_dinov2_npz(weights, vit_cfg)
             else:
-                # loud, not silent: a typo'd weights dir would otherwise
-                # run the full benchmark on noise embeddings and look
-                # like an algorithmic regression (review finding)
-                import sys
-                print(
-                    f"[perception] WARNING: encoder weights not found "
-                    f"({weights!r}) -- using RANDOM-INIT "
-                    f"{cfg.models.encoder} params (fine for tests/fake "
-                    f"worlds, meaningless for real scenes)",
-                    file=sys.stderr)
+                if weights:
+                    # loud, not silent: a typo'd weights dir would
+                    # otherwise run the full benchmark on noise
+                    # embeddings and look like an algorithmic
+                    # regression (review finding).  No weights dir at
+                    # all = intentional random init (tests/fake world).
+                    import sys
+                    print(
+                        f"[perception] WARNING: encoder weights not "
+                        f"found at {weights!r} -- using RANDOM-INIT "
+                        f"{cfg.models.encoder} params (meaningless for "
+                        f"real scenes)", file=sys.stderr)
                 vit_params = vit.init_params(
                     vit_cfg, jax.random.PRNGKey(seed))
         from bsc_nav_tpu.memory.query import gaussian_center_pool

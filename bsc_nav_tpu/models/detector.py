@@ -87,10 +87,13 @@ class ClipPatchDetector:
 
         cfg = clip_cfg
 
+        # params flow through as jit ARGUMENTS -- closing over the
+        # multi-GB CLIP tower bakes it into the program as constants
+        # (CLAUDE.md remote-compile rule)
         @jax.jit
-        def dense_embed(images_uint8):
+        def dense_embed(params, images_uint8):
             x = C.preprocess(images_uint8, cfg)
-            v = clip_params["visual"]
+            v = params["visual"]
             h = _linear(patchify(x, cfg.patch_size), v["patch_embed"])
             B = h.shape[0]
             cls = jnp.broadcast_to(
@@ -125,7 +128,8 @@ class ClipPatchDetector:
         import jax.numpy as jnp
 
         B, H, W = rgbs.shape[:3]
-        embs = np.asarray(self._dense(jnp.asarray(rgbs[:, :, :, :3])))
+        embs = np.asarray(self._dense(self.params,
+                                      jnp.asarray(rgbs[:, :, :, :3])))
         g = self.cfg.grid
         out: List[List[Detection]] = []
         for b in range(B):

@@ -154,18 +154,20 @@ def patchify(images: jnp.ndarray, patch: int) -> jnp.ndarray:
     return x.reshape(B, gh * gw, patch * patch * C)
 
 
-def interpolate_pos_embed(pos: jnp.ndarray, n_patches: int) -> jnp.ndarray:
+def interpolate_pos_embed(pos: jnp.ndarray, grid_hw) -> jnp.ndarray:
     """Bicubic resize of the patch position grid for non-default image
-    sizes (DINOv2 interpolate_pos_encoding behavior)."""
+    sizes (DINOv2 interpolate_pos_encoding behavior).  grid_hw: target
+    (gh, gw) -- resized per axis, so non-square inputs interpolate
+    correctly instead of assuming a square token count."""
+    gh, gw = grid_hw
     n0 = pos.shape[1] - 1
-    if n0 == n_patches:
+    if n0 == gh * gw and gh == gw:
         return pos
     g0 = int(round(math.sqrt(n0)))
-    g1 = int(round(math.sqrt(n_patches)))
     cls_pos, patch_pos = pos[:, :1], pos[:, 1:]
     grid = patch_pos.reshape(1, g0, g0, -1)
-    grid = jax.image.resize(grid, (1, g1, g1, grid.shape[-1]), "bicubic")
-    return jnp.concatenate([cls_pos, grid.reshape(1, g1 * g1, -1)], axis=1)
+    grid = jax.image.resize(grid, (1, gh, gw, grid.shape[-1]), "bicubic")
+    return jnp.concatenate([cls_pos, grid.reshape(1, gh * gw, -1)], axis=1)
 
 
 def _block(x, blk, cfg: ViTConfig, tp_mesh=None):
@@ -213,12 +215,13 @@ def forward_features(params: Dict[str, Any], images: jnp.ndarray,
     `shard_vit_params(..., tp_qkv_layout=True)` -- attention then runs
     tensor-parallel per shard instead of through GSPMD gathers."""
     B, H, W, _ = images.shape
-    n_patches = (H // cfg.patch_size) * (W // cfg.patch_size)
+    grid_hw = (H // cfg.patch_size, W // cfg.patch_size)
 
     x = _linear(patchify(images, cfg.patch_size), params["patch_embed"])
     cls = jnp.broadcast_to(params["cls_token"], (B, 1, cfg.dim)).astype(x.dtype)
     x = jnp.concatenate([cls, x], axis=1)
-    x = x + interpolate_pos_embed(params["pos_embed"], n_patches).astype(x.dtype)
+    x = x + interpolate_pos_embed(params["pos_embed"],
+                                  grid_hw).astype(x.dtype)
 
     n_reg = cfg.num_registers
     if n_reg:

@@ -440,8 +440,6 @@ class YoloWorldDetector:
                 1e-12))
         self.confidence = confidence
         self.iou_thr = iou_thr
-        self._fwd = jax.jit(
-            lambda p, x, t: forward(p, x, t, cfg))
         # forward + device-side decode/top-k fused into ONE dispatch;
         # only [B,k,*] candidates cross the host boundary
         self._fwd_topk = jax.jit(
@@ -449,7 +447,9 @@ class YoloWorldDetector:
                 forward(p, x, t, cfg), cfg, k=256))
 
     def detect(self, rgb: np.ndarray) -> List[Detection]:
-        return self._detect_one(rgb)
+        # fused device decode/top-k path (ONE dispatch, [k,*] transfer);
+        # the host-side decode_boxes path paid per-level tunnel syncs
+        return self.detect_batch(rgb[None])[0]
 
     def detect_batch(self, rgbs: np.ndarray) -> List[List[Detection]]:
         """Batched forward + device decode/top-k (one device call, one
@@ -467,23 +467,6 @@ class YoloWorldDetector:
             results.append(self._nms_detections(
                 boxes[b][sel], cls_idx[b][sel], conf[b][sel], H0, W0))
         return results
-
-    def _detect_one(self, rgb: np.ndarray) -> List[Detection]:
-        H0, W0 = rgb.shape[:2]
-        s = self.cfg.img_size
-        x = jnp.asarray(rgb[None, :, :, :3], jnp.float32) / 255.0
-        if (H0, W0) != (s, s):
-            x = jax.image.resize(x, (1, s, s, 3), "bilinear")
-        outs = self._fwd(self.params, x, self.text_emb)
-        boxes, scores = decode_boxes(outs, self.cfg)
-        return self._post(boxes, scores, H0, W0)
-
-    def _post(self, boxes, scores, H0, W0):
-        cls_idx = scores.argmax(axis=1)
-        conf = scores.max(axis=1)
-        sel = conf >= self.confidence
-        return self._nms_detections(
-            boxes[sel], cls_idx[sel], conf[sel], H0, W0)
 
     def _nms_detections(self, boxes, cls_idx, conf, H0, W0):
         s = self.cfg.img_size
@@ -553,8 +536,11 @@ def _c2fattn_from(sd, prefix, dtype=jnp.float32):
         "gl_b": jnp.asarray(sd[f"{a}.gl.bias"], dtype),
         "bias": jnp.asarray(sd[f"{a}.bias"], dtype),
         "proj": _cv(sd, f"{a}.proj_conv", dtype),
-        "scale": jnp.asarray(np.atleast_1d(sd.get(f"{a}.scale", 1.0)),
-                             dtype),
+        # torch stores a learnable scale as (1, nh, 1, 1); our forward
+        # broadcasts a flat [nh] against [B, H, W, nh]
+        "scale": jnp.asarray(
+            np.atleast_1d(np.asarray(sd.get(f"{a}.scale", 1.0))
+                          ).reshape(-1), dtype),
     }
     if f"{a}.ec.conv.weight" in sd:
         attn["ec_conv"] = _cv(sd, f"{a}.ec", dtype)

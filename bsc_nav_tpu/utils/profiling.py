@@ -25,6 +25,23 @@ from typing import Dict, List, Optional
 import numpy as np
 
 
+def _first_leaf(x):
+    """First array leaf of a pytree-ish result (tuple/list/dict/array)."""
+    if isinstance(x, (tuple, list)):
+        for item in x:
+            leaf = _first_leaf(item)
+            if leaf is not None:
+                return leaf
+        return None
+    if isinstance(x, dict):
+        for item in x.values():
+            leaf = _first_leaf(item)
+            if leaf is not None:
+                return leaf
+        return None
+    return x
+
+
 class Stopwatch:
     """Named wall-clock scopes with aggregation.
 
@@ -40,14 +57,19 @@ class Stopwatch:
 
     @contextlib.contextmanager
     def __call__(self, name: str):
+        """sync=True: assign the computation's device output to
+        `holder["result"]` inside the block -- syncing requires
+        MATERIALIZING a value on this runtime (CLAUDE.md:
+        block_until_ready/effects_barrier do not reliably await pure
+        jitted work through the tunnel)."""
         t0 = time.perf_counter()
+        holder: Dict[str, object] = {"result": None}
         try:
-            yield
+            yield holder
         finally:
-            if self.sync:
+            if self.sync and holder.get("result") is not None:
                 try:
-                    import jax
-                    jax.effects_barrier()
+                    np.asarray(_first_leaf(holder["result"]))
                 except Exception:       # noqa: BLE001
                     pass
             self.samples[name].append(time.perf_counter() - t0)

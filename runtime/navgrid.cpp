@@ -80,14 +80,12 @@ int astar_path(const uint8_t* nav, int nx, int nz,
     if (gi < 0 || gi >= nx || gj < 0 || gj >= nz) return 0;
     if (!nav[si * nz + sj] || !nav[gi * nz + gj]) return 0;
 
-    std::vector<float> best(n, kInf);
     std::vector<int> came(n, -1);
     auto heur = [&](int i, int j) {
         float dx = float(i - gi), dy = float(j - gj);
         return std::sqrt(dx * dx + dy * dy);
     };
     std::priority_queue<PQItem, std::vector<PQItem>, std::greater<PQItem>> pq;
-    best[si * nz + sj] = 0.0f;
     pq.push({heur(si, sj), si * nz + sj});
     std::vector<float> gscore(n, kInf);
     gscore[si * nz + sj] = 0.0f;

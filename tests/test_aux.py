@@ -126,3 +126,17 @@ def test_token_similarity_map_and_render(tmp_path):
                               str(tmp_path / "match.png"))
     import os
     assert os.path.getsize(p) > 1000
+
+
+def test_stopwatch_sync_materializes_result():
+    """sync=True measures through value materialization (the tunneled
+    runtime ignores block_until_ready -- CLAUDE.md platform note)."""
+    import jax
+    import jax.numpy as jnp
+
+    sw = Stopwatch(sync=True)
+    with sw("matmul") as h:
+        a = jnp.ones((64, 64))
+        h["result"] = jax.jit(lambda x: x @ x)(a)
+    st = sw.stats("matmul")
+    assert st["count"] == 1 and st["mean_ms"] > 0
