@@ -249,18 +249,24 @@ def build_world(args, task: str = "objnav"
     return cfg, bench, memory, extras
 
 
+def build_memory_fake(memory, bench) -> None:
+    """Build the scene memory from the agent's current pose, restoring
+    the pose afterwards (shared by drivers and demo)."""
+    state = bench.sim.agents[0].get_state()
+    bench.nav_env.reset(
+        init_state=AgentState(np.asarray(state.position), Quat()),
+        build_map=True)
+    memory.exploring_create_memory(save=False)
+    # restore the episode start pose
+    bench.nav_env.agent.set_state(state)
+
+
 def ensure_memory_fake(robot, bench) -> None:
     """Build the scene memory once (the per-scene caching of the
     reference drivers, objnav_benchmark.py:1289-1294)."""
     if int(robot.memory.state.num_voxels) > 0:
         return
-    state = bench.sim.agents[0].get_state()
-    bench.nav_env.reset(
-        init_state=AgentState(np.asarray(state.position), Quat()),
-        build_map=True)
-    robot.memory.exploring_create_memory(save=False)
-    # restore the episode start pose
-    bench.nav_env.agent.set_state(state)
+    build_memory_fake(robot.memory, bench)
 
 
 def island_stats(bench):

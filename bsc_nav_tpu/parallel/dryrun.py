@@ -64,6 +64,16 @@ def dryrun_multichip(n_devices: int, devices=None) -> None:
     mesh = M.make_mesh(dp=dp, mp=mp, devices=devices)
 
     cfg = dryrun_config()
+    if mp > 1:
+        # the store's padded capacity axis must divide across mp (e.g.
+        # n=12 -> mp=3 would not divide the default 1016 rows): size the
+        # capacity so padded_rows is a multiple of lcm(8, mp)
+        import dataclasses
+        import math as _math
+        rows = 8 * mp // _math.gcd(8, mp)
+        padded = ((1016 + rows - 1) // rows) * rows
+        cfg = cfg.replace(memory=dataclasses.replace(
+            cfg.memory, voxel_capacity=padded - 1))
     vit_cfg = vit.ViTConfig(
         img_size=28, patch_size=14, dim=cfg.memory.token_dim, depth=2,
         heads=2, num_registers=4, mlp_ratio=4.0)
@@ -119,6 +129,7 @@ def dryrun_multichip(n_devices: int, devices=None) -> None:
     n = int(stats["num_voxels"])
     assert n > 0, "dry run ingested no voxels"
     s = np.asarray(scores)
+    assert not np.isnan(s).any(), "NaN similarity scores in dry run"
     assert np.isfinite(s[s > -np.inf]).all()
 
     # explicit-collective path: shard_map distributed top-k over the

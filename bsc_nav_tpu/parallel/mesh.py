@@ -104,9 +104,18 @@ def shard_mmdit_params(params, mesh: Mesh):
     from bsc_nav_tpu.ops.flash_attention import qkv_tp_permutation
 
     mp = mesh.shape["mp"]
-    perm = qkv_tp_permutation(
-        params["blocks"][0]["x"]["qkv"]["w"].shape[0], mp
-    ) if mp > 1 else None
+    if mp > 1:
+        dim = params["blocks"][0]["x"]["qkv"]["w"].shape[0]
+        heads_hint = params["blocks"][0]["x"].get("q_norm")
+        if heads_hint is not None:
+            heads = dim // heads_hint.shape[0]
+            assert heads % mp == 0, (
+                f"MMDiT TP needs heads % mp == 0 (heads={heads}, "
+                f"mp={mp}) -- the head-blocked qkv shards would split "
+                f"heads across chips")
+        perm = qkv_tp_permutation(dim, mp)
+    else:
+        perm = None
 
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
 

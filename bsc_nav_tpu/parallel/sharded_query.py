@@ -82,10 +82,18 @@ def make_sharded_localize(mesh: Mesh, top_k: int = 100):
     return jax.jit(fn)
 
 
+_BUILT_CACHE: dict = {}
+
+
 def sharded_localize(state: VoxelStoreState, query: jnp.ndarray,
                      mesh: Mesh, top_k: int = 100
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Convenience wrapper over make_sharded_localize."""
-    fn = make_sharded_localize(mesh, top_k)
+    """Convenience wrapper over make_sharded_localize.  The built
+    shard_map+jit is cached per (mesh, top_k): rebuilding per call would
+    retrace (and recompile, minutes through the tunnel) on EVERY query."""
+    key = (mesh, top_k)
+    fn = _BUILT_CACHE.get(key)
+    if fn is None:
+        fn = _BUILT_CACHE[key] = make_sharded_localize(mesh, top_k)
     return fn(state.feats, state.feat_norm, state.feat_count,
               state.slot_pos, state.num_voxels, query)

@@ -20,7 +20,6 @@ import os
 import numpy as np
 
 from benchmarks import setup as S
-from bsc_nav_tpu.agents.localize import LocalizeAgent
 from bsc_nav_tpu.agents.robot import ObjectNavRobot
 from bsc_nav_tpu.utils.visualize import render_pointcloud_png, render_topdown_png
 
@@ -43,14 +42,8 @@ def main(argv=None):
     cfg, bench, memory, extras = S.build_world(args, task="objnav")
     obs = bench.reset()
 
-    # build the scene memory
-    from bsc_nav_tpu.env.pathfinding import AgentState, Quat
-    state = bench.sim.agents[0].get_state()
-    bench.nav_env.reset(
-        init_state=AgentState(np.asarray(state.position), Quat()),
-        build_map=True)
-    memory.exploring_create_memory(save=False)
-    bench.nav_env.agent.set_state(state)
+    # build the scene memory (shared helper with the drivers)
+    S.build_memory_fake(memory, bench)
     print(f"memory built: {int(memory.state.num_voxels)} voxels, "
           f"{len(memory.long_memory_dict)} instances")
 
@@ -126,34 +119,26 @@ def main(argv=None):
         return
 
     if args.nav_mode == "localize":
-        agent = LocalizeAgent(memory, bench, llm_client=extras["llm"],
-                              matcher=extras["matcher"],
-                              save_dir=args.out_dir)
         goals = [g.strip() for g in args.goal.split(",") if g.strip()]
-        if len(goals) > 1:
-            # multi-goal: ONE batched store pass (voxel_localized_batch)
-            # and one imagination per goal; centers clustered from the
-            # same results the renders use
-            from bsc_nav_tpu.agents.clustering import (
-                weighted_cluster_centers)
-            results = memory.voxel_localized_batch(goals)
-            for i, (g, (best, topk, sims)) in enumerate(
-                    zip(goals, results)):
-                centers, _, _ = weighted_cluster_centers(topk, sims)
-                print(f"{g}: cluster centers: {centers}")
-                np.save(os.path.join(
-                    args.out_dir, f"best_pos_topK_text_prompt_{i}.npy"),
-                    np.asarray(topk))
-                render_pointcloud_png(
-                    memory.state,
-                    os.path.join(args.out_dir, f"localize_{i}_{g}.png"),
-                    highlight=topk, centers=centers)
-        else:
-            centers = agent.LocalizeTextPrompt(goals[0], text_aug=False)
-            print("cluster centers:", centers)
-            best, topk, sims = memory.voxel_localized(goals[0])
+        # ONE localization pass per goal (batched when multi-goal);
+        # centers clustered from the SAME results the renders use, with
+        # the config's clustering knobs (not the DBSCAN defaults)
+        from bsc_nav_tpu.agents.clustering import weighted_cluster_centers
+        results = (memory.voxel_localized_batch(goals)
+                   if len(goals) > 1 else
+                   [memory.voxel_localized(goals[0])])
+        for i, (g, (best, topk, sims)) in enumerate(zip(goals, results)):
+            centers, _, _ = weighted_cluster_centers(
+                topk, sims, eps=cfg.query.cluster_eps,
+                min_samples=cfg.query.cluster_min_samples)
+            print(f"{g}: cluster centers: {centers}")
+            suffix = f"_{i}_{g}" if len(goals) > 1 else ""
+            np.save(os.path.join(
+                args.out_dir, f"best_pos_topK_text_prompt{suffix}.npy"),
+                np.asarray(topk))
             render_pointcloud_png(
-                memory.state, os.path.join(args.out_dir, "localize.png"),
+                memory.state,
+                os.path.join(args.out_dir, f"localize{suffix}.png"),
                 highlight=topk, centers=centers)
         print(f"results saved under {args.out_dir}")
         return
