@@ -463,12 +463,15 @@ def _deform_attention(query, value_flat, ref_points, shapes, p, heads,
                         ).reshape(B, heads, Q, points, 4, hd)
 
         # corner weights in quad order [(0,0), (0,1), (1,0), (1,1)],
-        # folded with this level's attention weights + base validity
+        # folded with this level's attention weights + base validity;
+        # einsum inputs stay in the value dtype (upcasting the gathered
+        # rows to f32 doubled their HBM traffic), accumulation in f32
         cw = jnp.stack([(1 - wy) * (1 - wx), (1 - wy) * wx,
                         wy * (1 - wx), wy * wx], axis=-1)  # [B,Q,nh,P,4]
         cw = cw * (valid * aw[:, :, :, li])[..., None]
         out = out + jnp.einsum("bhqpcd,bqhpc->bqhd",
-                               rows.astype(jnp.float32), cw)
+                               rows, cw.astype(rows.dtype),
+                               preferred_element_type=jnp.float32)
     out = out.reshape(B, Q, D).astype(query.dtype)
     return _lin(out, p["output_proj"])
 
