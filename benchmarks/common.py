@@ -100,14 +100,26 @@ def run_episodes(
     log_root: str = "./tmp",
     record_video: bool = False,
     ensure_memory: Optional[Callable] = None,   # (robot, bench) -> None
+    num_workers: int = 1,
+    worker_id: int = 0,
 ) -> List[EpisodeRecord]:
     """The per-episode loop every driver shares
-    (objnav_benchmark.py:1255-1321)."""
+    (objnav_benchmark.py:1255-1321).
+
+    Multi-host farming (benchmarks/farm.py): with num_workers > 1 each
+    worker walks the SAME deterministic episode sequence but only runs
+    its strided share (i % num_workers == worker_id), writing its own
+    CSV shard; resume counts completed rows within the worker's share.
+    The reference's analog is per-GPU shell launches (scripts/*.sh)."""
     start = get_start_episode(csv_path)
     records: List[EpisodeRecord] = []
+    own_seen = 0
     for i in range(n_episodes):
         obs = bench.reset()
-        if i < start:
+        if i % max(1, num_workers) != worker_id:
+            continue
+        own_seen += 1
+        if own_seen - 1 < start:
             continue
         log_dir = os.path.join(log_root, f"trajectory_{i}")
         os.makedirs(log_dir, exist_ok=True)

@@ -40,6 +40,18 @@ def main(argv=None):
             results = json.load(f)
     finished = {r.get("question_id") for r in results}
 
+    # question-metadata dump, written BEFORE answering (reference
+    # EQA_benchmark.py:66-81 collects question_text/answer_text/
+    # question_type for every episode into eqa_questions_meta.json)
+    meta_path = os.path.join(
+        os.path.dirname(os.path.abspath(args.results_json)),
+        "eqa_questions_meta.json")
+    questions_meta = []
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            questions_meta = json.load(f)
+    meta_seen = {m.get("question_id") for m in questions_meta}
+
     for i in range(args.episodes):
         obs = bench.reset()
         ep = bench.current_episode
@@ -51,6 +63,20 @@ def main(argv=None):
         robot.reset(obs, log_dir=os.path.join(args.log_root,
                                               f"trajectory_{i}"))
         question = ep.question or f"What is next to the {ep.object_category}?"
+
+        truth_pre = (S.FAKE_COLOR_NAMES.get(ep.object_category)
+                     if args.env == "fake" else None)
+        if qid not in meta_seen:
+            questions_meta.append({
+                "question_id": qid,
+                "question_text": question,
+                "answer_text": truth_pre,
+                "question_type": "color" if truth_pre else None,
+            })
+            meta_seen.add(qid)
+            with open(meta_path, "w", encoding="utf-8") as f:
+                json.dump(questions_meta, f, ensure_ascii=False, indent=2)
+
         _, answer = robot.main(question)
 
         m = bench.get_metrics()
@@ -58,11 +84,9 @@ def main(argv=None):
         # EQA success = answer accuracy (reference EQA_benchmark.py keys
         # results on the answer, not nav success); ground truth known in
         # the fake world
-        truth = None
-        correct = None
-        if args.env == "fake" and ep.object_category in S.FAKE_COLOR_NAMES:
-            truth = S.FAKE_COLOR_NAMES[ep.object_category]
-            correct = float(truth.lower() in (answer or "").lower())
+        truth = truth_pre
+        correct = (float(truth.lower() in (answer or "").lower())
+                   if truth else None)
         # record the question in the resume json BEFORE the CSV append:
         # a crash between the two writes must not re-run the question
         # and duplicate its CSV row on resume

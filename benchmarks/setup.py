@@ -71,6 +71,10 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    choices=["float32", "bfloat16", "int8"],
                    help="token-store precision (int8: half HBM, "
                         "cosine-exact scores, faster query scans)")
+    p.add_argument("--num-workers", type=int, default=1,
+                   help="episode-farming worker count (benchmarks/farm.py:"
+                        " strided episode split; one CSV shard per worker)")
+    p.add_argument("--worker-id", type=int, default=0)
     p.add_argument("--detector", default="auto",
                    choices=["auto", "clip-patch", "grounding-dino"],
                    help="long-term-memory detector backend on the "

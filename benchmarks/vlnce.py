@@ -44,7 +44,8 @@ def main(argv=None):
     return C.run_episodes(
         robot, bench, args.episodes, episode_fn, metrics_fn, csv_path,
         log_root=args.log_root, record_video=args.record_video,
-        ensure_memory=S.ensure_memory_fake if args.env == "fake" else None)
+        ensure_memory=S.ensure_memory_fake if args.env == "fake" else None,
+        num_workers=args.num_workers, worker_id=args.worker_id)
 
 
 if __name__ == "__main__":

@@ -385,21 +385,42 @@ class ObjectNavRobot:
     def move2textprompt_adaptive_region(self, text_prompt: str,
                                         text_aug: bool = False,
                                         radius: float = 30.0) -> bool:
-        """Growing-radius regional search (objnav_benchmark.py:1080-1100)."""
+        """Growing-radius regional search (objnav_benchmark.py:1080-1100).
+
+        The query vector is radius-independent and the store is frozen
+        during navigation, so ALL radii are localized in one batched
+        store pass (voxel_localized_batch with per-query region masks)
+        instead of one imagination run + store scan + device sync per
+        radius; the agent then walks the precomputed candidate sets in
+        radius order."""
         self.task_over = False
         curr = self.benchmark_env.sim.agents[0].get_state().position
         curr_grid = self._loc2grid(curr)
-        for _ in range(3):
-            best = self.working_memory_retrival(
-                text_prompt, region_radius=radius, text_aug=text_aug,
-                curr_grid=curr_grid)
-            if best is not None and len(best[0]) > 1:
+        radii = [radius + 10.0 * i for i in range(3)]
+
+        if isinstance(text_prompt, str) and text_aug:
+            prompt_ext = L.retry(
+                lambda: L.imagenary_helper(self.client, text_prompt))
+        else:
+            prompt_ext = text_prompt
+        results = self.memory.voxel_localized_batch(
+            [prompt_ext] * len(radii), region_radii=radii,
+            curr_grid=curr_grid)
+
+        for _, topk, sims in results:
+            if len(topk) == 0:
+                continue
+            centers, _, _ = weighted_cluster_centers(
+                topk, sims, eps=self.memory.cfg.query.cluster_eps,
+                min_samples=self.memory.cfg.query.cluster_min_samples)
+            if len(centers) == 0:
+                centers = np.asarray(topk[:1], float)
+            if len(centers) > 1:
                 d = np.linalg.norm(
-                    np.asarray(best[0], float) - curr_grid, axis=1)
-                best = np.array([np.asarray(best[0])[np.argsort(d)]])
-            if self.move2subgoal(best, text_prompt):
+                    np.asarray(centers, float) - curr_grid, axis=1)
+                centers = np.asarray(centers)[np.argsort(d)]
+            if self.move2subgoal(np.array([centers]), text_prompt):
                 return True
-            radius += 10
         return False
 
     def move2VLNprompt(self, text_prompt: str):

@@ -332,33 +332,43 @@ class VoxelTokenMemory:
             return np.zeros((0, 3), int), np.zeros((0, 3), int), scores
         return positions[:1], positions, scores
 
-    def voxel_localized_batch(self, prompts, K: int = 100):
+    def voxel_localized_batch(self, prompts, K: int = 100,
+                              region_radii=None, curr_grid=None):
         """Localize MULTIPLE queries against the store in ONE pass.
 
         The single-query scan is matvec-limited (one active MXU column,
         CLAUDE.md perf note); batching turns it into a [VK, D] x [D, Q]
         matmul so Q queries cost barely more than one.  Each prompt may
         be a str (runs the imagination model), an image [H, W, 3], or an
-        image group [N, H, W, 3].  Returns a list of
+        image group [N, H, W, 3].  Repeated prompts (same str, or the
+        same array object) are pooled/imagined ONCE -- a growing-radius
+        sweep passes the same prompt with different radii and pays for
+        one imagination run.  Returns a list of
         (best_pos [1,3], top_k_positions, top_k_similarity) tuples with
         the same semantics as voxel_localized, including the
-        single-floor height mask (the region-radius filter is a
-        per-query agent-position feature -- use voxel_localized for
-        region-restricted searches)."""
+        single-floor height mask and (when region_radii is given, one
+        radius per prompt with np.inf = unrestricted, around curr_grid
+        [3] or per-query [Q,3]) the region-radius mask."""
         import jax.numpy as jnp
         from bsc_nav_tpu.memory.query import localize_batch
 
         self.flush()
         pooled = []
+        pooled_cache = {}
         for p in prompts:
+            key = p if isinstance(p, str) else id(p)
+            if key in pooled_cache:
+                pooled.append(pooled_cache[key])
+                continue
             if isinstance(p, str):
                 imgs = self.imaginary(p)
             else:
                 arr = np.asarray(p)
                 imgs = arr[None] if arr.ndim == 3 else arr
             imgs = jnp.asarray(imgs[:, :, :, :3].astype(np.uint8))
-            pooled.append(self.perception.pool_step(
-                self.perception.vit_params, imgs))
+            q = self.perception.pool_step(self.perception.vit_params, imgs)
+            pooled_cache[key] = q
+            pooled.append(q)
 
         # same single-floor mask as voxel_localized
         use_floor = (self.load_single_floor
@@ -369,21 +379,45 @@ class VoxelTokenMemory:
                 [self.floor_min_height, self.floor_max_height],
                 jnp.int32)) if use_floor else {}
 
+        Q = len(prompts)
+        radii = (np.full(Q, np.inf, np.float32) if region_radii is None
+                 else np.asarray(region_radii, np.float32))
+        grids = None
+        if curr_grid is not None:
+            grids = np.asarray(curr_grid, np.int32)
+            if grids.ndim == 1:
+                grids = np.broadcast_to(grids, (Q, 3))
+        assert grids is not None or not np.isfinite(radii).any(), (
+            "finite region_radii need curr_grid")
+
         if self.segments is not None and self.segments.num_segments > 1:
             # segmented scenes: per-query merged top-K across segments
             self.segments.state = self.state
             out = []
-            for q in pooled:
+            for qi, q in enumerate(pooled):
+                kwargs = dict(floor_kwargs)
+                if np.isfinite(radii[qi]):
+                    kwargs.update(
+                        use_region=True,
+                        curr_grid=jnp.asarray(grids[qi], jnp.int32),
+                        region_radius=float(radii[qi]))
                 positions, scores = self.segments.localize(
-                    q, top_k=K, **floor_kwargs)
+                    q, top_k=K, **kwargs)
                 out.append((positions[:1], positions, scores)
                            if len(positions) else
                            (np.zeros((0, 3), int), np.zeros((0, 3), int),
                             np.zeros((0,), np.float32)))
             return out
 
+        region_kwargs = {}
+        if np.isfinite(radii).any():
+            region_kwargs = dict(
+                use_region=True,
+                curr_grid=jnp.asarray(grids, jnp.int32),
+                region_radii=jnp.asarray(radii))
         positions, scores = localize_batch(
-            self.state, jnp.stack(pooled), top_k=K, **floor_kwargs)
+            self.state, jnp.stack(pooled), top_k=K, **floor_kwargs,
+            **region_kwargs)
         positions = np.asarray(positions)
         scores = np.asarray(scores)
         out = []

@@ -99,22 +99,29 @@ def localize(
     return positions, scores
 
 
-@functools.partial(jax.jit, static_argnames=("top_k", "use_floor"))
+@functools.partial(jax.jit,
+                   static_argnames=("top_k", "use_floor", "use_region"))
 def localize_batch(
     state: VoxelStoreState,
     queries: jnp.ndarray,              # [Q, D] pooled query features
     top_k: int = 100,
     use_floor: bool = False,
     floor_range: Optional[jnp.ndarray] = None,  # [2] int32 (min_h, max_h)
+    use_region: bool = False,
+    curr_grid: Optional[jnp.ndarray] = None,    # [Q, 3] int32 per query
+    region_radii: Optional[jnp.ndarray] = None,  # [Q] f32 (inf = no mask)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-K voxels for EVERY query in one store pass.
 
     The single-query scan is matvec-limited (one MXU column); this is a
     [VK, D] x [D, Q] matmul, so Q queries cost barely more than one --
     use it whenever more than one goal is localized against the same
-    store (two-stage text+image retrieval, batched episode farming).
-    Supports the single-floor height mask like `localize` (the
-    per-query region-radius mask is single-query-only by nature).
+    store (two-stage text+image retrieval, adaptive-region radius
+    sweeps, batched episode farming).  Supports the single-floor height
+    mask like `localize`, plus a PER-QUERY region mask (curr_grid [Q,3]
+    + region_radii [Q]; an inf radius leaves that query unrestricted)
+    so a growing-radius search (reference objnav_benchmark.py:1080-1100)
+    is one device pass instead of one per radius.
     Returns (positions [Q, top_k, 3] int32, scores [Q, top_k] f32)."""
     V1 = state.feat_count.shape[0]
     qn = queries.astype(jnp.float32)
@@ -127,6 +134,13 @@ def localize_batch(
         h = state.slot_pos[:, 2]
         mask = mask & ((h >= floor_range[0])
                        & (h <= floor_range[1]))[None]
+    if use_region:
+        d2 = jnp.sum(
+            (state.slot_pos.astype(jnp.float32)[None, :, :]
+             - curr_grid.astype(jnp.float32)[:, None, :]) ** 2,
+            axis=-1)                                          # [Q, V1]
+        r2 = jnp.square(region_radii.astype(jnp.float32))[:, None]
+        mask = mask & jnp.where(jnp.isfinite(r2), d2 <= r2, True)
     per_voxel = jnp.where(mask, per_voxel, -jnp.inf)
     scores, idx = jax.lax.top_k(per_voxel, top_k)
     return state.slot_pos[idx], scores

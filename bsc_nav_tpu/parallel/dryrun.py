@@ -47,20 +47,27 @@ def dryrun_config() -> Config:
     )
 
 
-def dryrun_multichip(n_devices: int, devices=None) -> None:
+def dryrun_multichip(n_devices: int, devices=None, dp=None, mp=None) -> None:
     """Create an n-device mesh, jit the FULL pipeline step over it with
     real dp/mp shardings, and run one step on tiny shapes.  Raises on
-    any sharding/compile/execution failure."""
+    any sharding/compile/execution failure.
+
+    With dp/mp unset, picks the widest 2D factorization (e.g. 8 -> 4x2);
+    pass them explicitly to exercise the edges (dp=n x mp=1 pure data
+    parallel, dp=1 x mp=n store fully sharded + encoder TP across all
+    devices)."""
     devices = devices if devices is not None else jax.devices()[:n_devices]
     assert len(devices) >= n_devices, (
         f"need {n_devices} devices, have {len(devices)}")
-    # widest 2D factorization: dp x mp
-    mp = 1
-    for cand in range(int(n_devices ** 0.5), 0, -1):
-        if n_devices % cand == 0:
-            mp = cand
-            break
-    dp = n_devices // mp
+    if dp is None or mp is None:
+        # widest 2D factorization: dp x mp
+        mp = 1
+        for cand in range(int(n_devices ** 0.5), 0, -1):
+            if n_devices % cand == 0:
+                mp = cand
+                break
+        dp = n_devices // mp
+    assert dp * mp == n_devices, f"dp={dp} * mp={mp} != {n_devices}"
     mesh = M.make_mesh(dp=dp, mp=mp, devices=devices)
 
     cfg = dryrun_config()
@@ -74,9 +81,12 @@ def dryrun_multichip(n_devices: int, devices=None) -> None:
         padded = ((1016 + rows - 1) // rows) * rows
         cfg = cfg.replace(memory=dataclasses.replace(
             cfg.memory, voxel_capacity=padded - 1))
+    # enough heads that encoder TP engages at this mp (dim 64 : heads in
+    # {2,4,8} all give an MXU-friendly head_dim and divide across shards)
+    heads = mp if mp > 2 and cfg.memory.token_dim % mp == 0 else 2
     vit_cfg = vit.ViTConfig(
         img_size=28, patch_size=14, dim=cfg.memory.token_dim, depth=2,
-        heads=2, num_registers=4, mlp_ratio=4.0)
+        heads=heads, num_registers=4, mlp_ratio=4.0)
 
     params = vit.init_params(vit_cfg, jax.random.PRNGKey(0))
     # head-blocked qkv layout + shard_map attention when TP divides heads
@@ -169,3 +179,24 @@ def dryrun_multichip(n_devices: int, devices=None) -> None:
     print(f"dryrun_multichip OK: mesh dp={dp} mp={mp}, "
           f"{n} voxels, top score {float(s[0]):.4f}, "
           f"distributed top-k verified{mmdit_ok}")
+
+
+def dryrun_all(n_devices: int, devices=None) -> None:
+    """Run the dry run at the three mesh-factorization edges: pure data
+    parallel (dp=n), the widest balanced 2D mesh, and full model/store
+    parallel (mp=n: token store sharded n-way + encoder TP across all
+    devices).  Each factorization must compile and execute."""
+    # widest balanced split (same rule as dryrun_multichip's default)
+    mp_mid = 1
+    for cand in range(int(n_devices ** 0.5), 0, -1):
+        if n_devices % cand == 0:
+            mp_mid = cand
+            break
+    factorizations = [(n_devices, 1), (n_devices // mp_mid, mp_mid),
+                      (1, n_devices)]
+    seen = set()
+    for dp, mp in factorizations:
+        if (dp, mp) in seen:
+            continue
+        seen.add((dp, mp))
+        dryrun_multichip(n_devices, devices=devices, dp=dp, mp=mp)

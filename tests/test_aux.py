@@ -140,3 +140,31 @@ def test_stopwatch_sync_materializes_result():
         h["result"] = jax.jit(lambda x: x @ x)(a)
     st = sw.stats("matmul")
     assert st["count"] == 1 and st["mean_ms"] > 0
+
+
+def test_smoke_compare_gate(tmp_path):
+    """tools/smoke_compare flags >threshold serving regressions and
+    tolerates model-set drift between rounds."""
+    import json
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools"))
+    from smoke_compare import compare, main
+
+    base = {"models": [{"name": "a", "ms_per_iter": 100.0},
+                       {"name": "gone", "ms_per_iter": 5.0}]}
+    new = {"models": [{"name": "a", "ms_per_iter": 115.0},
+                      {"name": "fresh", "ms_per_iter": 1.0}]}
+    rows, regs = compare(base, new, threshold=0.10)
+    assert len(regs) == 1 and regs[0][0] == "a"
+    _, regs_ok = compare(base, {"models": [
+        {"name": "a", "ms_per_iter": 105.0}]}, threshold=0.10)
+    assert regs_ok == []
+
+    bp, np_ = tmp_path / "b.json", tmp_path / "n.json"
+    bp.write_text(json.dumps(base))
+    np_.write_text(json.dumps(new))
+    assert main([str(bp), str(np_)]) == 1
+    assert main([str(bp), str(np_), "--threshold", "0.2"]) == 0

@@ -64,6 +64,13 @@ def test_eqa_driver(tmp_path):
     saved = json.load(open(tmp_path / "eqa.json"))
     assert saved[0]["question_id"] == results[0]["question_id"]
 
+    # question-metadata dump beside the results json, written before
+    # answering (reference EQA_benchmark.py:66-81)
+    meta = json.load(open(tmp_path / "eqa_questions_meta.json"))
+    assert meta[0]["question_id"] == results[0]["question_id"]
+    assert meta[0]["question_text"] == results[0]["question"]
+    assert "answer_text" in meta[0] and "question_type" in meta[0]
+
     # resume: second run skips the finished question
     results2 = run_in(tmp_path, eqa.main, argv)
     assert len(results2) == 1   # same list reloaded, nothing re-run

@@ -167,3 +167,32 @@ def test_localize_batch_int8_store():
         np.testing.assert_allclose(np.asarray(bscores[i]),
                                    np.asarray(s_ref), rtol=1e-3,
                                    atol=1e-4)
+
+
+def test_localize_batch_per_query_region(rng):
+    """Batched per-query region masks == per-query single localize with
+    the same radius (the adaptive-region sweep runs as one store pass,
+    reference objnav_benchmark.py:1080-1100)."""
+    cfg = small_test_config()
+    state, feats, norms, cnt, pos = build_store(cfg, n_vox=60, seed=5)
+    q = rng.normal(size=cfg.memory.token_dim).astype(np.float32)
+    curr = np.asarray(pos[:60].mean(axis=0), np.int32)
+    radii = np.array([6.0, 12.0, np.inf], np.float32)
+    qs = np.tile(q, (3, 1))
+
+    bpos, bscores = Q.localize_batch(
+        state, jnp.asarray(qs), top_k=10, use_region=True,
+        curr_grid=jnp.asarray(np.tile(curr, (3, 1))),
+        region_radii=jnp.asarray(radii))
+    for i, r in enumerate(radii):
+        if np.isfinite(r):
+            p_ref, s_ref = Q.localize(
+                state, jnp.asarray(q), top_k=10, use_region=True,
+                curr_grid=jnp.asarray(curr), region_radius=float(r))
+        else:
+            p_ref, s_ref = Q.localize(state, jnp.asarray(q), top_k=10)
+        np.testing.assert_allclose(np.asarray(bscores[i]),
+                                   np.asarray(s_ref), rtol=1e-5)
+    # growing radius -> monotone non-decreasing live-candidate counts
+    live = (np.asarray(bscores) > -np.inf).sum(axis=1)
+    assert live[0] <= live[1] <= live[2]

@@ -164,3 +164,51 @@ def test_voxel_localized_batch_matches_single():
             np.testing.assert_array_equal(btopk, stopk)
             np.testing.assert_allclose(bsims, ssims, rtol=1e-5,
                                        atol=1e-6)
+
+
+def test_voxel_localized_batch_region_and_dedupe():
+    """Per-query region radii in the agent-level batch match single
+    region-restricted voxel_localized; repeated prompts are pooled once
+    (the adaptive-region sweep pays for ONE imagination/pool run)."""
+    from bsc_nav_tpu.agents.spatial_memory import (
+        Perception, VoxelTokenMemory)
+    from bsc_nav_tpu.env.fake import FakeNavEnv
+    from bsc_nav_tpu.env.pathfinding import AgentState, Quat
+    from bsc_nav_tpu.models import vit
+    from bsc_nav_tpu.config import QueryConfig
+
+    cfg = tiny_cfg().replace(
+        query=QueryConfig(top_k=8, query_width=28, query_height=28))
+    vit_cfg = vit.ViTConfig(img_size=28, patch_size=14, dim=32, depth=1,
+                            heads=2, num_registers=0)
+    env = FakeNavEnv(cfg, seed=3)
+    env.reset(init_state=AgentState(np.zeros(3), Quat()), build_map=True)
+    perception = Perception.create(cfg, vit_cfg=vit_cfg, batch_size=4)
+    mem = VoxelTokenMemory(cfg, env=env, perception=perception)
+    obs = env.sims.get_sensor_observations(0)
+    mem.excute(obs, ["turn_left"] * 8 + ["move_forward"] * 2)
+
+    view = np.asarray(obs["rgb"][:, :, :3])
+    curr = np.array([cfg.memory.grid_size // 2,
+                     cfg.memory.grid_size // 2, 4], np.int32)
+    radii = [5.0, 10.0, np.inf]
+
+    pool_calls = {"n": 0}
+    orig_pool = perception.pool_step
+
+    def counting_pool(params, imgs):
+        pool_calls["n"] += 1
+        return orig_pool(params, imgs)
+
+    perception.pool_step = counting_pool
+    batch = mem.voxel_localized_batch([view] * 3, K=8,
+                                      region_radii=radii, curr_grid=curr)
+    perception.pool_step = orig_pool
+    assert pool_calls["n"] == 1, "repeated prompt must pool once"
+
+    for r, (bbest, btopk, bsims) in zip(radii, batch):
+        sbest, stopk, ssims = mem.voxel_localized(
+            view, K=8, region_radius=r,
+            curr_grid=curr if np.isfinite(r) else None)
+        np.testing.assert_array_equal(btopk, stopk)
+        np.testing.assert_allclose(bsims, ssims, rtol=1e-5, atol=1e-6)

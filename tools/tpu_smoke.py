@@ -142,11 +142,25 @@ def main():
                       iters=3))
 
     results["models"] = rows
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "tpu_smoke.last.json")
+    here = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join(here, "tpu_smoke.last.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
     print(f"wrote {out}")
+
+    # regression gate vs the latest committed per-round snapshot
+    # (docs/tpu_smoke_r*.json; tools/smoke_compare.py flags >10% drift)
+    import glob
+    snaps = sorted(glob.glob(os.path.join(
+        os.path.dirname(here), "docs", "tpu_smoke_r*.json")))
+    if snaps:
+        from smoke_compare import compare
+        with open(snaps[-1]) as f:
+            base = json.load(f)
+        _, regressions = compare(base, results)
+        for name, b, ms, rel in regressions:
+            print(f"REGRESSION vs {os.path.basename(snaps[-1])}: "
+                  f"{name} {b} -> {ms} ms ({rel:+.1%})")
 
 
 if __name__ == "__main__":
