@@ -119,47 +119,56 @@ def main():
     detector = Y.YoloWorldDetector(yparams, ycfg, DETECT_CLASSES,
                                    temb, confidence=0.55)
 
-    @jax.jit
-    def detect_dispatch(p, rgb_u8, t):
+    base_tf_j = jnp.asarray(G.base_axes_transform(), jnp.float32)
+    base2cam_j = jnp.asarray(
+        G.base_to_cam_transform(cfg.sensor.sensor_height), jnp.float32)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("stress_rate",))
+    def detect_dispatch(p, rgb_u8, t, depth_d, poses_d, stress_rate=0):
+        """Forward -> decode -> class-wise NMS -> depth backprojection
+        to grid instances, ALL on device: one small [B, 32, *] transfer
+        per batch instead of host-python NMS/backprojection that
+        contends with the tunnel client for the single CPU core
+        (measured 16x python slowdown while device work is in flight).
+
+        stress_rate > 0 biases the random-weight detector's (sorted)
+        top confidences into [0.55, 1) so ~stress_rate candidates per
+        frame survive -- the rate real YOLO-World yields at conf 0.55
+        on real scenes; boxes/classes and the whole suppression +
+        backprojection path stay real (reference memory_2.py:905-945)."""
         s = ycfg.img_size
         x = rgb_u8.astype(jnp.bfloat16) / 255.0
         x = jax.image.resize(x, (x.shape[0], s, s, 3), "bilinear")
-        return Y.decode_topk_device(Y.forward(p, x, t, ycfg), ycfg, k=256)
+        # k=64 candidates into NMS: sub-threshold candidates never
+        # suppress (host semantics filter at conf first), and the
+        # suppression scan is O(K) sequential steps -- keep K small
+        boxes, conf, cls_idx = Y.decode_topk_device(
+            Y.forward(p, x, t, ycfg), ycfg, k=64)
+        if stress_rate:
+            # concat-free boost (conf is sorted desc): a tiny
+            # concatenate here perturbed XLA's schedule for the whole
+            # program, +163 ms/batch measured
+            in_top = jnp.arange(conf.shape[1])[None, :] < stress_rate
+            lo = conf[:, stress_rate - 1:stress_rate]
+            hi = conf[:, :1]
+            boost = 0.55 + 0.44 * (conf - lo) / (hi - lo + 1e-9)
+            conf = jnp.where(in_top, boost, conf)
+        boxes, conf, cls_idx, ok = Y.nms_device(
+            boxes, conf, cls_idx, iou_thr=0.5,
+            conf_thr=detector.confidence, k_out=32)
+        cam_tfs = jax.vmap(lambda pose: (
+            base_tf_j @ G.pose_vec_to_tf(pose)
+            @ jnp.linalg.inv(base_tf_j) @ base_tf_j @ base2cam_j
+        ))(poses_d)
+        return LT.instances_device(boxes, conf, cls_idx, ok, depth_d,
+                                   cam_tfs, cfg, s)
 
-    base_tf = np.asarray(G.base_axes_transform())
-    base2cam = G.base_to_cam_transform(cfg.sensor.sensor_height)
-
-    def np_pose_tf(pose):
-        """pose_vec_to_tf in plain numpy: NO eager jnp ops or tunnel
-        syncs inside the timed loop (CLAUDE.md platform rules)."""
-        q = pose[3:7] / np.linalg.norm(pose[3:7])
-        x, y, z, w = q
-        tf = np.eye(4, dtype=np.float64)
-        tf[:3, :3] = [
-            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
-             2 * (x * z + w * y)],
-            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
-             2 * (y * z - w * x)],
-            [2 * (x * z - w * y), 2 * (y * z + w * x),
-             1 - 2 * (x * x + y * y)]]
-        tf[:3, 3] = pose[:3]
-        return tf
-
-    def detect_host_post(dev_out, depth_np, poses_np, instances):
-        """NMS + long-term instance integration for one batch (runs while
-        the NEXT batch computes on device)."""
-        boxes, conf, cls_idx = (np.asarray(a) for a in dev_out)
-        batch_inst = []
-        for b in range(boxes.shape[0]):
-            sel = conf[b] >= detector.confidence
-            dets = detector._nms_detections(
-                boxes[b][sel], cls_idx[b][sel], conf[b][sel], H, W)
-            if dets:
-                hab = np_pose_tf(poses_np[b].astype(np.float64))
-                base_pose = base_tf @ hab @ np.linalg.inv(base_tf)
-                cam_tf = base_pose @ base_tf @ base2cam
-                batch_inst += LT.instances_from_detections(
-                    dets, depth_np[b], cam_tf, cfg)
+    def detect_host_post(dev_out, instances):
+        """ONE small transfer + dedup integration for one batch (runs
+        while the NEXT batch computes on device)."""
+        batch_inst = LT.instances_from_device(dev_out, DETECT_CLASSES)
         instances[:] = LT.integrate(instances + batch_inst)
 
     def make_batch(seed):
@@ -192,35 +201,51 @@ def main():
     fps_encode = n_iters * B / dt_a
     log(f"encode+ingest: {n_iters*B} frames in {dt_a:.2f}s -> "
         f"{fps_encode:.1f} frames/s")
+    del carry, state          # phase A's 6.2GB store dies before phase B
 
     # ---- phase B: FULL build loop (+ detector into long-term memory) ---
     t0 = time.perf_counter()
-    dev_out = detect_dispatch(yparams, batches[0][0], detector.text_emb)
+    dev_out = detect_dispatch(yparams, batches[0][0], detector.text_emb,
+                              batches[0][1], batches[0][2])
     _ = float(dev_out[1][0, 0])
     log(f"detector compile+first: {time.perf_counter()-t0:.1f}s")
 
-    state = init_store(cfg.memory, store_dtype=store_dtype)
-    carry = (state, jax.random.PRNGKey(0))
-    instances = []
-    pending = None
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        rgb_d, depth_d, poses_d, depth_np, poses_np = batches[i % 4]
-        carry, stats = build_step(carry, params, rgb_d, depth_d, poses_d)
-        this = (detect_dispatch(yparams, rgb_d, detector.text_emb),
-                depth_np, poses_np)
-        if pending is not None:            # overlaps device compute
-            detect_host_post(*pending, instances)
-        pending = this
-    detect_host_post(*pending, instances)
-    n_vox_final = int(stats["num_voxels"])      # forces execution
-    dt_b = time.perf_counter() - t0
-    state = carry[0]
-    fps = n_iters * B / dt_b
-    log(f"FULL build: {n_iters*B} frames in {dt_b:.2f}s -> {fps:.1f} "
-        f"frames/s, voxels={n_vox_final}, "
-        f"dropped={int(stats['dropped_voxels'])}, "
-        f"longterm instances={len(instances)}")
+    det_rate = int(os.environ.get("BENCH_DET_RATE", 6))
+
+    def full_build(stress_rate):
+        state = init_store(cfg.memory, store_dtype=store_dtype)
+        carry = (state, jax.random.PRNGKey(0))
+        instances = []
+        pending = None
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            rgb_d, depth_d, poses_d, depth_np, poses_np = batches[i % 4]
+            carry, stats = build_step(carry, params, rgb_d, depth_d,
+                                      poses_d)
+            this = detect_dispatch(yparams, rgb_d, detector.text_emb,
+                                   depth_d, poses_d,
+                                   stress_rate=stress_rate)
+            if pending is not None:        # overlaps device compute
+                detect_host_post(pending, instances)
+            pending = this
+        detect_host_post(pending, instances)
+        n_vox_final = int(stats["num_voxels"])  # forces execution
+        dt = time.perf_counter() - t0
+        return (n_iters * B / dt, carry[0], instances, n_vox_final,
+                int(stats["dropped_voxels"]))
+
+    # continuity number: the zero-detection loop (random-weight YOLO on
+    # random frames clears conf 0.55 nowhere; r1/r2 headline conditions)
+    fps_zero_det, _, _, _, _ = full_build(stress_rate=0)
+    log(f"FULL build (zero-det continuity): {fps_zero_det:.1f} frames/s")
+
+    # HEADLINE: detector-stressed build -- ~det_rate detections/frame
+    # flow through host NMS + backprojection + long-term integration
+    fps, state, instances, n_vox_final, dropped = full_build(
+        stress_rate=det_rate)
+    log(f"FULL build (stressed @{det_rate} det/frame): {n_iters*B} frames"
+        f" -> {fps:.1f} frames/s, voxels={n_vox_final}, "
+        f"dropped={dropped}, longterm instances={len(instances)}")
 
     # ---- image-goal query latency ---------------------------------------
     qimg = jnp.asarray(rng.integers(0, 255, size=(3, 512, 512, 3),
@@ -245,7 +270,35 @@ def main():
     log(f"image query p50: {p50:.1f} ms (top score {float(scores[0]):.3f});"
         f" sync round-trip overhead ~{rtt_ms:.1f} ms")
 
+    # ---- batched query: Q=4 queries, ONE store pass + ONE sync ----------
+    # (the agent's adaptive-region sweep and multi-goal retrieval route
+    # through this; single-query p50 is tunnel-RTT-bound, VERDICT r2 #3)
+    from bsc_nav_tpu.memory.pipeline import make_query_batch_step
+    query_batch_step = make_query_batch_step(cfg, vit_cfg,
+                                             compute_dtype=jnp.bfloat16)
+    qimgs4 = jnp.asarray(rng.integers(
+        0, 255, size=(4, 3, 512, 512, 3), dtype=np.uint8))
+    bpos, bscores = query_batch_step(state, params, qimgs4, top_k=100)
+    _ = float(bscores[0, 0])
+    blat = []
+    for _i in range(10):
+        t0 = time.perf_counter()
+        bpos, bscores = query_batch_step(state, params, qimgs4, top_k=100)
+        _ = float(bscores[0, 0])                # forces execution
+        blat.append(time.perf_counter() - t0)
+    q4_ms = float(np.median(blat) * 1000)
+    q4_amortized = q4_ms / 4.0
+    log(f"batched query Q=4: {q4_ms:.1f} ms total -> "
+        f"{q4_amortized:.1f} ms/query amortized")
+
     # ---- text query END TO END (imagination included) -------------------
+    # free device buffers the text phase doesn't need: with the MMDiT-X
+    # dual-attention params (2.55B, +0.43GB bf16 over plain SD3) the
+    # store (6.2GB) + imagination stack leave no headroom for stale
+    # frame batches / detector params on a 16GB chip
+    import gc
+    del batches, dev_out, qimgs4, bpos, bscores, yparams, detector
+    gc.collect()
     text_e2e_ms = None
     try:
         text_e2e_ms = _text_query_phase(cfg, full, state, params,
@@ -261,7 +314,10 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(fps / REFERENCE_A100_FPS_ESTIMATE, 2),
         "encode_ingest_frames_per_sec": round(fps_encode, 2),
+        "zero_det_frames_per_sec": round(fps_zero_det, 2),
+        "det_per_frame": det_rate,
         "query_localize_p50_ms": round(p50, 2),
+        "query_batch_q4_amortized_ms": round(q4_amortized, 2),
         "text_query_e2e_ms": (round(text_e2e_ms, 1)
                               if text_e2e_ms is not None else None),
         "sync_rtt_ms": round(rtt_ms, 2),

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 
 from bsc_nav_tpu.config import Config
 from bsc_nav_tpu.memory.ingest import ingest_frames
-from bsc_nav_tpu.memory.query import gaussian_center_pool, localize
+from bsc_nav_tpu.memory.query import (
+    gaussian_center_pool, localize, localize_batch)
 from bsc_nav_tpu.memory.store import VoxelStoreState
 from bsc_nav_tpu.models import vit
 
@@ -92,6 +93,31 @@ def make_query_step(cfg: Config, vit_cfg: vit.ViTConfig,
             use_floor=use_floor, floor_range=floor_range)
 
     return query_step
+
+
+def make_query_batch_step(cfg: Config, vit_cfg: vit.ViTConfig,
+                          compute_dtype=jnp.float32):
+    """Returns jitted (state, params, images_uint8 [Q, N, H, W, 3],
+    top_k) -> (positions [Q, K, 3], scores [Q, K]): Q independent
+    queries (N images each) encoded in one ViT dispatch and localized
+    in one [VK, D] x [D, Q] store pass (the single-query scan is
+    matvec-limited -- CLAUDE.md perf note; this amortizes the store
+    read and the tunnel sync across all pending queries)."""
+
+    @functools.partial(jax.jit, static_argnames=("top_k",))
+    def query_batch_step(state: VoxelStoreState, params, images_uint8,
+                         top_k: int = 100):
+        Qn, Ni = images_uint8.shape[0], images_uint8.shape[1]
+        q = (cfg.query.query_height, cfg.query.query_width)
+        flat = images_uint8.reshape((Qn * Ni,) + images_uint8.shape[2:])
+        x = vit.preprocess(flat, out_hw=q).astype(compute_dtype)
+        tokens = vit.forward_features(
+            params, x, vit_cfg)["x_norm_patchtokens"]
+        grouped = tokens.reshape(Qn, Ni, tokens.shape[1], tokens.shape[2])
+        pooled = jax.vmap(gaussian_center_pool)(grouped)
+        return localize_batch(state, pooled, top_k=top_k)
+
+    return query_batch_step
 
 
 def token_similarity_map(params, query_img: jnp.ndarray,

@@ -46,6 +46,10 @@ class MMDiTConfig:
     pooled_dim: int = 2048         # CLIP-L + CLIP-G pooled concat
     qk_norm: bool = True           # SD3.5 revision
     ln_eps: float = 1e-6
+    # MMDiT-X (SD3.5-medium): blocks with an EXTRA self-attention on the
+    # latent stream (diffusers dual_attention_layers; 9-chunk
+    # AdaLayerNormZeroX modulation).  SD3.5-large/SD3-medium: empty.
+    dual_attention_layers: tuple = ()
 
     @property
     def head_dim(self) -> int:
@@ -56,10 +60,14 @@ class MMDiTConfig:
         return (self.input_size // self.patch_size) ** 2
 
 
-SD35_MEDIUM = MMDiTConfig()
+# stabilityai/stable-diffusion-3.5-medium transformer config: 24 layers
+# x 24 heads x 64 head_dim, dual attention in blocks 0-12 (MMDiT-X)
+SD35_MEDIUM = MMDiTConfig(dual_attention_layers=tuple(range(13)))
 MMDIT_TEST = MMDiTConfig(input_size=8, patch_size=2, in_channels=4,
                          dim=64, depth=2, heads=4, context_dim=32,
                          pooled_dim=16)
+MMDIT_TEST_DUAL = dataclasses.replace(MMDIT_TEST,
+                                      dual_attention_layers=(0,))
 
 
 # --------------------------------------------------------------------------
@@ -75,24 +83,35 @@ def init_params(cfg: MMDiTConfig, key, dtype=jnp.float32) -> Dict[str, Any]:
              else jax.random.normal(k, (fi, fo), dtype) / math.sqrt(fi))
         return {"w": w, "b": jnp.zeros((fo,), dtype)}
 
-    def stream(key, last=False):
-        bk = jax.random.split(key, 6)
+    def stream(key, dual=False):
+        bk = jax.random.split(key, 8)
         s = {
             "qkv": lin(bk[0], d, 3 * d),
             "proj": lin(bk[1], d, d),
-            "mod": lin(bk[2], d, 6 * d, zero=True),   # adaLN-Zero
+            # adaLN-Zero; dual blocks (MMDiT-X) modulate with 9 chunks
+            # (AdaLayerNormZeroX: ...gate_mlp, shift_msa2, scale_msa2,
+            # gate_msa2)
+            "mod": lin(bk[2], d, (9 if dual else 6) * d, zero=True),
             "fc1": lin(bk[3], d, 4 * d),
             "fc2": lin(bk[4], 4 * d, d),
         }
         if cfg.qk_norm:
             s["q_norm"] = jnp.ones((cfg.head_dim,), dtype)
             s["k_norm"] = jnp.ones((cfg.head_dim,), dtype)
+        if dual:
+            s["qkv2"] = lin(bk[5], d, 3 * d)
+            s["proj2"] = lin(bk[6], d, d)
+            if cfg.qk_norm:
+                s["q_norm2"] = jnp.ones((cfg.head_dim,), dtype)
+                s["k_norm2"] = jnp.ones((cfg.head_dim,), dtype)
         return s
 
     blocks = []
     for i in range(cfg.depth):
         bk = jax.random.split(ks[10 + i], 2)
-        blocks.append({"x": stream(bk[0]), "ctx": stream(bk[1])})
+        blocks.append({
+            "x": stream(bk[0], dual=i in cfg.dual_attention_layers),
+            "ctx": stream(bk[1])})
 
     p = cfg.patch_size
     return {
@@ -173,7 +192,8 @@ def _joint_block(x, ctx, c, blk, cfg: MMDiTConfig, tp_mesh=None):
     # AdaLayerNormContinuous) -- no gate, no ctx FFN, ctx not updated
     ctx_pre_only = len(mods["ctx"]) == 2
 
-    xn = _modulate(_pre_norm(x, cfg.ln_eps), mods["x"][0], mods["x"][1])
+    xpn = _pre_norm(x, cfg.ln_eps)
+    xn = _modulate(xpn, mods["x"][0], mods["x"][1])
     cn = _modulate(_pre_norm(ctx, cfg.ln_eps), mods["ctx"][0], mods["ctx"][1])
 
     Sx, Sc = x.shape[1], ctx.shape[1]
@@ -211,6 +231,22 @@ def _joint_block(x, ctx, c, blk, cfg: MMDiTConfig, tp_mesh=None):
         att_c, att_x = att[:, :Sc], att[:, Sc:]
 
     x = x + mods["x"][2][:, None] * _linear(att_x, blk["x"]["proj"])
+
+    if "qkv2" in blk["x"]:
+        # MMDiT-X dual attention (SD3.5-medium blocks 0-12): a second
+        # self-attention over the LATENT stream only, modulated by the
+        # extra 3 AdaLayerNormZeroX chunks, added after the joint
+        # attention residual (diffusers JointTransformerBlock with
+        # use_dual_attention=True)
+        xn2 = _modulate(xpn, mods["x"][6], mods["x"][7])
+        s2 = {"qkv": blk["x"]["qkv2"]}
+        if cfg.qk_norm:
+            s2["q_norm"] = blk["x"]["q_norm2"]
+            s2["k_norm"] = blk["x"]["k_norm2"]
+        q2, k2, v2 = _stream_qkv(xn2, s2, cfg)
+        att2 = attention(q2, k2, v2)
+        att2 = att2.transpose(0, 2, 1, 3).reshape(x.shape[0], Sx, cfg.dim)
+        x = x + mods["x"][8][:, None] * _linear(att2, blk["x"]["proj2"])
 
     xm = _modulate(_pre_norm(x, cfg.ln_eps), mods["x"][3], mods["x"][4])
     x = x + mods["x"][5][:, None] * _linear(
@@ -378,6 +414,18 @@ def convert_sd3(state_dict, cfg: MMDiTConfig, dtype=jnp.float32):
             "fc1": lin(f"{b}.ff.net.0.proj"),
             "fc2": lin(f"{b}.ff.net.2"),
         }
+        if f"{b}.attn2.to_q.weight" in sd:
+            # MMDiT-X dual attention (SD3.5-medium): norm1 is the
+            # 9-chunk AdaLayerNormZeroX (mapped by `mod` above); attn2
+            # is a plain latent-stream self-attention
+            x_stream["qkv2"] = qkv_packed(
+                f"{b}.attn2.to_q", f"{b}.attn2.to_k", f"{b}.attn2.to_v")
+            x_stream["proj2"] = lin(f"{b}.attn2.to_out.0")
+            if cfg.qk_norm:
+                x_stream["q_norm2"] = jnp.asarray(
+                    sd[f"{b}.attn2.norm_q.weight"], dtype)
+                x_stream["k_norm2"] = jnp.asarray(
+                    sd[f"{b}.attn2.norm_k.weight"], dtype)
         # context_pre_only last block: norm1_context is a 2-chunk
         # AdaLayerNormContinuous (scale, shift) -- swap to our order;
         # the 6-chunk AdaLayerNormZero already matches (shift first)

@@ -395,6 +395,62 @@ def decode_topk_device(level_outs, cfg: YoloWorldConfig, k: int = 256):
             jnp.take_along_axis(cls_idx, top_i, axis=1))
 
 
+def nms_device(boxes, conf, cls_idx, iou_thr: float = 0.5,
+               conf_thr: float = 0.0, k_out: int = 32):
+    """Batched DEVICE-side class-wise greedy NMS over decode_topk_device
+    output (inputs sorted by confidence descending, the order
+    decode_topk_device emits).
+
+    The reference runs ultralytics' host NMS per frame
+    (memory_2.py:907); on the tunneled TPU host-side python competes
+    with the tunnel client for ONE core (measured 16x slowdown of the
+    same numpy code while device work is in flight), so suppression
+    runs here as a [K, K] IoU matrix + K-step suppression scan and only
+    the k_out survivors ever reach the host.
+
+    boxes [B, K, 4], conf [B, K], cls_idx [B, K] ->
+    (boxes [B, k_out, 4], conf [B, k_out], cls_idx [B, k_out],
+     valid [B, k_out] bool), again confidence-sorted."""
+    K = boxes.shape[1]
+
+    def one(bx, cf, ci):
+        x1 = jnp.maximum(bx[:, None, 0], bx[None, :, 0])
+        y1 = jnp.maximum(bx[:, None, 1], bx[None, :, 1])
+        x2 = jnp.minimum(bx[:, None, 2], bx[None, :, 2])
+        y2 = jnp.minimum(bx[:, None, 3], bx[None, :, 3])
+        inter = (jnp.clip(x2 - x1, 0) * jnp.clip(y2 - y1, 0))
+        area = jnp.clip(bx[:, 2] - bx[:, 0], 0) * jnp.clip(
+            bx[:, 3] - bx[:, 1], 0)
+        iou = inter / jnp.maximum(area[:, None] + area[None] - inter,
+                                  1e-9)
+        same = ci[:, None] == ci[None, :]
+        # suppress[i, j]: an ALIVE i (higher conf, i < j) removes j
+        sup_mat = ((iou > iou_thr) & same & (
+            jnp.arange(K)[:, None] < jnp.arange(K)[None, :])
+        ).astype(jnp.float32)
+
+        # exact greedy suppression WITHOUT a sequential scalar scan:
+        # iterate alive_{t+1}[j] = init[j] & no alive_t suppressor.
+        # After t iterations every prefix of length t is exact and
+        # stable (induction over the conf-sorted order), so K
+        # iterations reproduce greedy NMS; each step is one [K]x[K,K]
+        # matvec -- static, MXU-friendly, no dynamic indexing (the
+        # fori_loop-with-alive[i] formulation ran ~4x slower end to
+        # end on TPU)
+        init = (cf >= conf_thr).astype(jnp.float32)
+
+        def body(_, alive):
+            hits = alive @ sup_mat
+            return init * (hits < 0.5)
+
+        alive = jax.lax.fori_loop(0, K, body, init) > 0.5
+        score = jnp.where(alive, cf, -1.0)
+        top, idx = jax.lax.top_k(score, min(k_out, K))
+        return bx[idx], cf[idx], ci[idx], top >= 0.0
+
+    return jax.vmap(one)(boxes, conf, cls_idx)
+
+
 def iou_xyxy(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """[N,4] x [M,4] -> [N,M]."""
     x1 = np.maximum(a[:, None, 0], b[None, :, 0])
@@ -536,11 +592,13 @@ def _c2fattn_from(sd, prefix, dtype=jnp.float32):
         "gl_b": jnp.asarray(sd[f"{a}.gl.bias"], dtype),
         "bias": jnp.asarray(sd[f"{a}.bias"], dtype),
         "proj": _cv(sd, f"{a}.proj_conv", dtype),
-        # torch stores a learnable scale as (1, nh, 1, 1); our forward
-        # broadcasts a flat [nh] against [B, H, W, nh]
-        "scale": jnp.asarray(
-            np.atleast_1d(np.asarray(sd.get(f"{a}.scale", 1.0))
-                          ).reshape(-1), dtype),
+        # torch stores a learnable scale as (1, nh, 1, 1) when enabled
+        # and omits the key when scale=False (ultralytics default, fixed
+        # 1.0); our forward broadcasts a flat [nh] against [B, H, W, nh]
+        # -- emit [nh] either way so converted trees match init_params
+        "scale": jnp.asarray(np.broadcast_to(
+            np.asarray(sd.get(f"{a}.scale", 1.0)).reshape(-1),
+            sd[f"{a}.bias"].shape), dtype),
     }
     if f"{a}.ec.conv.weight" in sd:
         attn["ec_conv"] = _cv(sd, f"{a}.ec", dtype)

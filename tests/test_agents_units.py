@@ -219,3 +219,91 @@ def test_frontier_exploration_end_to_end():
     nav = mem._navigable_mask(np.zeros(3))
     # navigable area excludes obstacles but covers much of the room
     assert 0.1 < nav.mean() <= 1.0
+
+
+def test_device_nms_matches_host_nms():
+    """nms_device (batched class-wise suppression on device) keeps the
+    same detection set as the host greedy NMS at conf 0.55."""
+    import jax.numpy as jnp
+    from bsc_nav_tpu.models import yolo_world as Y
+
+    rng = np.random.default_rng(7)
+    B, K = 4, 64
+    boxes = rng.uniform(0, 600, size=(B, K, 4)).astype(np.float32)
+    boxes[..., 2:] = boxes[..., :2] + rng.uniform(
+        10, 120, size=(B, K, 2)).astype(np.float32)
+    conf = np.sort(rng.uniform(0, 1, size=(B, K)).astype(np.float32),
+                   axis=1)[:, ::-1].copy()      # desc, like decode_topk
+    cls_idx = rng.integers(0, 5, size=(B, K)).astype(np.int32)
+
+    dbx, dcf, dci, dok = Y.nms_device(
+        jnp.asarray(boxes), jnp.asarray(conf), jnp.asarray(cls_idx),
+        iou_thr=0.5, conf_thr=0.55, k_out=32)
+    dbx, dcf, dci, dok = (np.asarray(a) for a in (dbx, dcf, dci, dok))
+
+    for b in range(B):
+        sel = conf[b] >= 0.55
+        want = set()
+        for ci in np.unique(cls_idx[b][sel]):
+            m = cls_idx[b][sel] == ci
+            keep = Y.nms(boxes[b][sel][m], conf[b][sel][m], 0.5)
+            want |= {(float(conf[b][sel][m][k]), int(ci)) for k in keep}
+        got = {(float(dcf[b, j]), int(dci[b, j]))
+               for j in np.nonzero(dok[b])[0]}
+        assert got == want
+
+
+def test_device_instances_match_host_path():
+    """Device NMS + device backprojection == the host NMS +
+    instances_from_detections chain (the build loop's long-term memory
+    feed, reference memory_2.py:905-945)."""
+    import jax.numpy as jnp
+    from bsc_nav_tpu import geometry as G
+    from bsc_nav_tpu.config import small_test_config
+    from bsc_nav_tpu.models import yolo_world as Y
+    from bsc_nav_tpu.models.detector import Detection
+
+    cfg = small_test_config()
+    H = W = cfg.sensor.height
+    det_size = 64
+    rng = np.random.default_rng(3)
+    B, K = 3, 32
+    boxes = rng.uniform(0, det_size - 12, size=(B, K, 4)).astype(
+        np.float32)
+    boxes[..., 2:] = boxes[..., :2] + rng.uniform(
+        2, 12, size=(B, K, 2)).astype(np.float32)
+    conf = np.sort(rng.uniform(0, 1, size=(B, K)).astype(np.float32),
+                   axis=1)[:, ::-1].copy()
+    cls_idx = rng.integers(0, 4, size=(B, K)).astype(np.int32)
+    depth = rng.uniform(0.2, 9.5, size=(B, H, W)).astype(np.float32)
+    cam_tfs = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+    cam_tfs[:, :3, 3] = rng.uniform(-1, 1, size=(B, 3))
+    classes = ["bed", "sofa", "chair", "table"]
+
+    nd = Y.nms_device(jnp.asarray(boxes), jnp.asarray(conf),
+                      jnp.asarray(cls_idx), iou_thr=0.5, conf_thr=0.55,
+                      k_out=16)
+    dev = LT.instances_device(nd[0], nd[1], nd[2], nd[3],
+                              jnp.asarray(depth), jnp.asarray(cam_tfs),
+                              cfg, det_size)
+    got = LT.instances_from_device(dev, classes)
+
+    want = []
+    for b in range(B):
+        sel = conf[b] >= 0.55
+        dets = []
+        for ci in np.unique(cls_idx[b][sel]):
+            m = cls_idx[b][sel] == ci
+            for k in Y.nms(boxes[b][sel][m], conf[b][sel][m], 0.5):
+                bx = boxes[b][sel][m][k] * np.array(
+                    [W / det_size, H / det_size] * 2)
+                bx = np.clip(bx, 0, [W, H, W, H])
+                dets.append(Detection(classes[int(ci)],
+                                      float(conf[b][sel][m][k]),
+                                      tuple(bx.tolist())))
+        want += LT.instances_from_detections(dets, depth[b], cam_tfs[b],
+                                             cfg)
+
+    key = lambda d: (d["label"], round(d["confidence"], 5),
+                     tuple(d["loc"]))
+    assert sorted(map(key, got)) == sorted(map(key, want))

@@ -278,3 +278,97 @@ def test_convert_vae_decoder_parity_vs_torch_oracle():
     got = np.asarray(V.decode(params, jnp.asarray(z), cfg))
     np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want,
                                rtol=2e-4, atol=2e-5)
+
+
+def test_convert_sd3_dual_attention_forward_parity():
+    """MMDiT-X (SD3.5-medium): blocks listed in dual_attention_layers
+    carry a second latent-stream self-attention (diffusers attn2 +
+    9-chunk AdaLayerNormZeroX).  Converter + forward must match the
+    torch oracle with dual blocks enabled."""
+    torch = pytest.importorskip("torch")
+    from torch_mmdit_oracle import SD3TransformerOracle
+
+    torch.manual_seed(1)
+    oracle = SD3TransformerOracle(
+        dim=64, heads=4, depth=3, in_ch=4, patch=2, context_dim=32,
+        pooled_dim=16, pos_embed_max_size=8,
+        dual_attention_layers=(0, 1)).eval()
+
+    cfg = M.MMDiTConfig(input_size=8, patch_size=2, in_channels=4,
+                        dim=64, depth=3, heads=4, context_dim=32,
+                        pooled_dim=16, dual_attention_layers=(0, 1))
+    params = M.convert_sd3(oracle.state_dict(), cfg)
+    # dual blocks must pick up qkv2/proj2; plain blocks must not
+    assert "qkv2" in params["blocks"][0]["x"]
+    assert "qkv2" in params["blocks"][1]["x"]
+    assert "qkv2" not in params["blocks"][2]["x"]
+    assert params["blocks"][0]["x"]["mod"]["w"].shape[1] == 9 * 64
+
+    rng = np.random.default_rng(2)
+    lat = rng.standard_normal((2, 8, 8, 4)).astype(np.float32)
+    ctx = rng.standard_normal((2, 5, 32)).astype(np.float32)
+    pool = rng.standard_normal((2, 16)).astype(np.float32)
+    t = np.asarray([0.25, 0.8], np.float32)
+
+    with torch.no_grad():
+        want = oracle(torch.from_numpy(lat.transpose(0, 3, 1, 2)),
+                      torch.from_numpy(t), torch.from_numpy(ctx),
+                      torch.from_numpy(pool)).numpy()
+
+    got = M.forward(params, jnp.asarray(lat), jnp.asarray(t),
+                    jnp.asarray(ctx), jnp.asarray(pool), cfg)
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_convert_sd3_full_size_schema():
+    """Key-coverage + shape audit at REAL SD3.5-medium dimensions
+    (dim 1536, depth 24, heads 24, ctx 4096, pooled 2048, dual attention
+    blocks 0-12, pos_embed_max_size 384): a meta-device oracle supplies
+    the exact diffusers key schema; zero-stride fabricated tensors keep
+    it cheap.  Proves the name mapping + every converted tensor shape at
+    checkpoint scale without a forward pass (VERDICT r2 item 8)."""
+    torch = pytest.importorskip("torch")
+    from torch_mmdit_oracle import SD3TransformerOracle
+
+    cfg = M.SD35_MEDIUM
+    with torch.device("meta"):
+        oracle = SD3TransformerOracle(
+            dim=cfg.dim, heads=cfg.heads, depth=cfg.depth,
+            in_ch=cfg.in_channels, patch=cfg.patch_size,
+            context_dim=cfg.context_dim, pooled_dim=cfg.pooled_dim,
+            pos_embed_max_size=384,
+            dual_attention_layers=cfg.dual_attention_layers)
+    sd = {k: np.broadcast_to(np.float16(0), tuple(v.shape))
+          for k, v in oracle.state_dict().items()}
+
+    params = M.convert_sd3(sd, cfg, dtype=jnp.bfloat16)
+
+    expected = jax.eval_shape(
+        lambda k: M.init_params(cfg, k), jax.random.PRNGKey(0))
+    # the converted LAST block models context_pre_only (diffusers):
+    # 2-chunk ctx modulation, zero-filled ctx proj/FFN placeholders --
+    # init_params keeps the uniform 6-chunk layout (forward detects
+    # either from the mod width)
+    import copy
+    expected = dict(expected, blocks=list(expected["blocks"]))
+    last = copy.deepcopy(jax.tree.map(lambda x: x,
+                                      expected["blocks"][-1]))
+    d = cfg.dim
+    last["ctx"]["mod"] = {
+        "w": jax.ShapeDtypeStruct((d, 2 * d), jnp.bfloat16),
+        "b": jax.ShapeDtypeStruct((2 * d,), jnp.bfloat16)}
+    expected["blocks"][-1] = last
+    flat_got = jax.tree_util.tree_leaves_with_path(params)
+    flat_want = {p: tuple(l.shape) for p, l in
+                 jax.tree_util.tree_leaves_with_path(expected)}
+    assert len(flat_got) == len(flat_want)
+    n_params = 0
+    for path, leaf in flat_got:
+        assert path in flat_want, f"unexpected param {path}"
+        assert tuple(leaf.shape) == flat_want[path], (
+            f"shape mismatch at {jax.tree_util.keystr(path)}: "
+            f"converted {tuple(leaf.shape)} vs init {flat_want[path]}")
+        n_params += int(np.prod(leaf.shape))
+    assert n_params > 2e9, (
+        f"SD3.5-medium should be >2B params, got {n_params/1e9:.2f}B")

@@ -47,6 +47,54 @@ class AdaLayerNormZero(nn.Module):
         return nx, gate_msa, shift_mlp, scale_mlp, gate_mlp
 
 
+class AdaLayerNormZeroX(nn.Module):
+    """MMDiT-X (SD3.5-medium dual-attention blocks): emb -> 9 chunks
+    (..., gate_mlp, shift_msa2, scale_msa2, gate_msa2); the shared
+    layernorm output is modulated twice."""
+
+    def __init__(self, dim):
+        super().__init__()
+        self.linear = nn.Linear(dim, 9 * dim)
+        self.norm = nn.LayerNorm(dim, elementwise_affine=False, eps=1e-6)
+
+    def forward(self, x, emb):
+        e = self.linear(F.silu(emb))
+        (shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp,
+         shift_msa2, scale_msa2, gate_msa2) = e.chunk(9, dim=1)
+        nx = self.norm(x)
+        nx1 = nx * (1 + scale_msa[:, None]) + shift_msa[:, None]
+        nx2 = nx * (1 + scale_msa2[:, None]) + shift_msa2[:, None]
+        return nx1, gate_msa, shift_mlp, scale_mlp, gate_mlp, nx2, gate_msa2
+
+
+class SelfAttention(nn.Module):
+    """diffusers Attention as used for MMDiT-X attn2 (latent stream
+    only, RMS qk-norm)."""
+
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.heads = heads
+        self.hd = dim // heads
+        self.to_q = nn.Linear(dim, dim)
+        self.to_k = nn.Linear(dim, dim)
+        self.to_v = nn.Linear(dim, dim)
+        self.norm_q = RMSNorm(self.hd)
+        self.norm_k = RMSNorm(self.hd)
+        self.to_out = nn.ModuleList([nn.Linear(dim, dim)])
+
+    def _heads(self, t):
+        B, S, D = t.shape
+        return t.view(B, S, self.heads, self.hd).transpose(1, 2)
+
+    def forward(self, x):
+        B, S, D = x.shape
+        q = self.norm_q(self._heads(self.to_q(x)))
+        k = self.norm_k(self._heads(self.to_k(x)))
+        v = self._heads(self.to_v(x))
+        out = F.scaled_dot_product_attention(q, k, v)
+        return self.to_out[0](out.transpose(1, 2).reshape(B, S, D))
+
+
 class AdaLayerNormContinuous(nn.Module):
     """emb -> (scale, shift) — NOTE scale first (diffusers order)."""
 
@@ -118,14 +166,19 @@ class FeedForward(nn.Module):
 
 
 class JointTransformerBlock(nn.Module):
-    def __init__(self, dim, heads, context_pre_only=False):
+    def __init__(self, dim, heads, context_pre_only=False,
+                 use_dual_attention=False):
         super().__init__()
         self.context_pre_only = context_pre_only
-        self.norm1 = AdaLayerNormZero(dim)
+        self.use_dual_attention = use_dual_attention
+        self.norm1 = (AdaLayerNormZeroX(dim) if use_dual_attention
+                      else AdaLayerNormZero(dim))
         self.norm1_context = (AdaLayerNormContinuous(dim)
                               if context_pre_only else
                               AdaLayerNormZero(dim))
         self.attn = JointAttention(dim, heads, context_pre_only)
+        if use_dual_attention:
+            self.attn2 = SelfAttention(dim, heads)
         self.norm2 = nn.LayerNorm(dim, elementwise_affine=False, eps=1e-6)
         self.ff = FeedForward(dim)
         if not context_pre_only:
@@ -135,8 +188,12 @@ class JointTransformerBlock(nn.Module):
             self.ff_context = FeedForward(dim)
 
     def forward(self, hidden, ctx, temb):
-        nh, gate_msa, shift_mlp, scale_mlp, gate_mlp = self.norm1(
-            hidden, temb)
+        if self.use_dual_attention:
+            (nh, gate_msa, shift_mlp, scale_mlp, gate_mlp, nh_dual,
+             gate_msa2) = self.norm1(hidden, temb)
+        else:
+            nh, gate_msa, shift_mlp, scale_mlp, gate_mlp = self.norm1(
+                hidden, temb)
         if self.context_pre_only:
             nc = self.norm1_context(ctx, temb)
         else:
@@ -144,6 +201,8 @@ class JointTransformerBlock(nn.Module):
                 self.norm1_context(ctx, temb)
         attn_h, attn_c = self.attn(nh, nc)
         hidden = hidden + gate_msa[:, None] * attn_h
+        if self.use_dual_attention:
+            hidden = hidden + gate_msa2[:, None] * self.attn2(nh_dual)
         nh2 = (self.norm2(hidden) * (1 + scale_mlp[:, None])
                + shift_mlp[:, None])
         hidden = hidden + gate_mlp[:, None] * self.ff(nh2)
@@ -210,7 +269,8 @@ class SD3TransformerOracle(nn.Module):
     """diffusers SD3Transformer2DModel-layout oracle."""
 
     def __init__(self, dim=64, heads=4, depth=3, in_ch=4, patch=2,
-                 context_dim=32, pooled_dim=16, pos_embed_max_size=8):
+                 context_dim=32, pooled_dim=16, pos_embed_max_size=8,
+                 dual_attention_layers=()):
         super().__init__()
         self.dim = dim
         self.patch = patch
@@ -219,8 +279,9 @@ class SD3TransformerOracle(nn.Module):
         self.time_text_embed = CombinedEmbeddings(dim, pooled_dim)
         self.context_embedder = nn.Linear(context_dim, dim)
         self.transformer_blocks = nn.ModuleList([
-            JointTransformerBlock(dim, heads,
-                                  context_pre_only=(i == depth - 1))
+            JointTransformerBlock(
+                dim, heads, context_pre_only=(i == depth - 1),
+                use_dual_attention=(i in dual_attention_layers))
             for i in range(depth)])
         self.norm_out = AdaLayerNormContinuous(dim)
         self.proj_out = nn.Linear(dim, patch * patch * in_ch)
