@@ -205,12 +205,23 @@ def main():
 
     # ---- phase B: FULL build loop (+ detector into long-term memory) ---
     t0 = time.perf_counter()
+    # warm BOTH variants with the EXACT call form the loop uses:
+    # jax.jit caches omitted-default and explicit-keyword static args
+    # as different traces, so a default-form warmup leaves the loop's
+    # stress_rate=0 call cold (one ~5s persistent-cache reload INSIDE
+    # the first timed loop, measured as 216 -> 54 fps)
     dev_out = detect_dispatch(yparams, batches[0][0], detector.text_emb,
-                              batches[0][1], batches[0][2])
+                              batches[0][1], batches[0][2],
+                              stress_rate=0)
     _ = float(dev_out[1][0, 0])
     log(f"detector compile+first: {time.perf_counter()-t0:.1f}s")
-
     det_rate = int(os.environ.get("BENCH_DET_RATE", 6))
+    t0 = time.perf_counter()
+    dev_out = detect_dispatch(yparams, batches[0][0], detector.text_emb,
+                              batches[0][1], batches[0][2],
+                              stress_rate=det_rate)
+    _ = float(dev_out[1][0, 0])
+    log(f"stressed-variant compile+first: {time.perf_counter()-t0:.1f}s")
 
     def full_build(stress_rate):
         state = init_store(cfg.memory, store_dtype=store_dtype)
