@@ -438,6 +438,9 @@ def _deform_attention(query, value_flat, ref_points, shapes, p, heads,
         quad = jnp.concatenate(
             [vp[:, :-1, :-1], vp[:, :-1, 1:],
              vp[:, 1:, :-1], vp[:, 1:, 1:]], axis=-1)
+        # rows stay (cell, HEAD-inner): the query side is naturally
+        # [B, Q, heads, ...], so a head-inner table needs NO transposes
+        # on the index or output side (each traced at ~2 ms/layer)
         quads.append(quad.reshape(B, (h + 1) * (w + 1), heads, 4 * hd))
 
         # torch grid_sample align_corners=False pixel mapping
@@ -461,6 +464,10 @@ def _deform_attention(query, value_flat, ref_points, shapes, p, heads,
         cws.append(cw * (valid * aw[:, :, :, li])[..., None])
 
     T = row_start
+    # head-MAJOR flat table: per-head rows contiguous.  (A head-inner
+    # layout that avoids the idx/output transposes was measured 50 ms
+    # SLOWER end to end -- the strided gather pattern loses more than
+    # the transposes cost.)
     quad_all = jnp.concatenate(quads, axis=1).transpose(0, 2, 1, 3)
     flat = quad_all.reshape(B * heads * T, 4 * hd)        # [BhT, 4hd]
     idx = jnp.stack(idxs, axis=3)                         # [B,Q,nh,L,P]
@@ -468,15 +475,27 @@ def _deform_attention(query, value_flat, ref_points, shapes, p, heads,
            ).reshape(B, heads, 1)
     flat_idx = (idx.transpose(0, 2, 1, 3, 4).reshape(B, heads, -1)
                 + off).reshape(-1)
-    rows = jnp.take(flat, flat_idx, axis=0
-                    ).reshape(B, heads, Q, L, points, 4, hd)
-    # einsum inputs stay in the value dtype (upcasting the gathered
-    # rows to f32 doubled their HBM traffic), accumulation in f32
+    # keep the gathered rows in their NATIVE [R, 4*hd] lane layout: an
+    # einsum over a [..., P, 4, hd] view forced XLA to relayout the
+    # whole 870 MB gather output (traced at 6.9 ms/layer) and run the
+    # contraction as slow VPU fusions.  Instead broadcast each corner
+    # weight across its hd-lane block and reduce in 2-D -- every op
+    # stays on 4*hd-lane rows; the (4, hd) split happens after the L*P
+    # reduction, on a 16x smaller array.  mode="clip": indices are
+    # already in range; the default fill mode emitted a select over the
+    # whole gather output (~1.3 ms/layer).
+    rows = jnp.take(flat, flat_idx, axis=0, mode="clip"
+                    ).reshape(B, heads, Q, L * points, 4 * hd)
     cw = jnp.stack(cws, axis=3)                           # [B,Q,nh,L,P,4]
-    out = jnp.einsum("bhqlpcd,bqhlpc->bqhd", rows,
-                     cw.astype(rows.dtype),
-                     preferred_element_type=jnp.float32)
-    out = out.reshape(B, Q, D).astype(query.dtype)
+    cw = cw.transpose(0, 2, 1, 3, 4, 5).reshape(
+        B, heads, Q, L * points, 4)
+    # expand corner weights to lane blocks in 5-D: a flat [R, 4]
+    # intermediate tiles 4 lanes out of 128 (32x padding, +40 ms)
+    w_lanes = jnp.repeat(cw.astype(rows.dtype), hd, axis=-1)
+    acc = jnp.sum((rows * w_lanes).astype(jnp.float32),
+                  axis=3)                                 # [B,nh,Q,4*hd]
+    out = jnp.sum(acc.reshape(B, heads, Q, 4, hd), axis=3)
+    out = out.transpose(0, 2, 1, 3).reshape(B, Q, D).astype(query.dtype)
     return _lin(out, p["output_proj"])
 
 
@@ -711,8 +730,12 @@ def forward(params, pixel_values, input_ids, token_type_ids,
     topk_coords = jnp.take_along_axis(
         enc_coord_logits, topk_idx[:, :, None], axis=1)
     reference = jax.nn.sigmoid(topk_coords)               # [B, nq, 4]
-    target = jnp.broadcast_to(params["query_embed"][None],
-                              (B, cfg.num_queries, D)).astype(v_feat.dtype)
+    # query_embed is stored at the checkpoint's 900 queries; a pruned
+    # config (cfg.num_queries < 900) takes the leading rows -- the
+    # two-stage top-k above already narrows to the same count
+    target = jnp.broadcast_to(
+        params["query_embed"][None, :cfg.num_queries],
+        (B, cfg.num_queries, D)).astype(v_feat.dtype)
 
     # ---- decoder ---------------------------------------------------------
     dec_text_mask = (text_pad_mask.astype(jnp.float32)[:, None, None, :]

@@ -61,21 +61,24 @@ def main():
             jnp.asarray(attn3d), jnp.asarray(pos_ids.astype(np.int32)),
             jnp.ones(ids.shape, bool))
 
-    # ---- stages ---------------------------------------------------------
-    bb = jax.jit(lambda p, x: G.swin_backbone(p["backbone"], x, cfg.swin))
-    timeit("swin-t backbone", lambda p, x: bb(p, x)[0][0], params, img)
+    # ---- stages (reduce in-jit: returning a feature map would time a
+    # multi-MB tunnel transfer, not the stage) ---------------------------
+    bb = jax.jit(lambda p, x: jnp.sum(G.swin_backbone(
+        p["backbone"], x, cfg.swin)[0][0].astype(jnp.float32)))
+    timeit("swin-t backbone", bb, params, img)
 
-    bert = jax.jit(lambda p: G.bert_encode(
-        p["text"], args[0], args[1], args[3], args[2], cfg.text))
+    bert = jax.jit(lambda p: jnp.sum(G.bert_encode(
+        p["text"], args[0], args[1], args[3], args[2],
+        cfg.text).astype(jnp.float32)))
     timeit("bert text tower", bert, params)
 
-    full = jax.jit(lambda p, x: G.forward(
-        p, x, *args, cfg)["pred_boxes"].astype(jnp.float32))
+    full = jax.jit(lambda p, x: jnp.sum(G.forward(
+        p, x, *args, cfg)["pred_boxes"].astype(jnp.float32)))
     t_full = timeit("FULL forward (nq=900)", full, params, img)
 
     pruned = dataclasses.replace(cfg, num_queries=300)
-    fp = jax.jit(lambda p, x: G.forward(
-        p, x, *args, pruned)["pred_boxes"].astype(jnp.float32))
+    fp = jax.jit(lambda p, x: jnp.sum(G.forward(
+        p, x, *args, pruned)["pred_boxes"].astype(jnp.float32)))
     t300 = timeit("FULL forward (nq=300)", fp, params, img)
 
     print(f"decoder-query pruning 900->300 saves {t_full - t300:.1f} ms")
