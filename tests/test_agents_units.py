@@ -276,8 +276,20 @@ def test_device_instances_match_host_path():
                    axis=1)[:, ::-1].copy()
     cls_idx = rng.integers(0, 4, size=(B, K)).astype(np.int32)
     depth = rng.uniform(0.2, 9.5, size=(B, H, W)).astype(np.float32)
-    cam_tfs = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
-    cam_tfs[:, :3, 3] = rng.uniform(-1, 1, size=(B, 3))
+    # full SE(3) transforms (rotation + translation), not just eye+t:
+    # a rotation-handling bug must fail this test
+    cam_tfs = np.zeros((B, 4, 4), np.float32)
+    for b in range(B):
+        a, be, c = rng.uniform(-np.pi, np.pi, 3)
+        Rz = np.array([[np.cos(a), -np.sin(a), 0],
+                       [np.sin(a), np.cos(a), 0], [0, 0, 1]])
+        Ry = np.array([[np.cos(be), 0, np.sin(be)], [0, 1, 0],
+                       [-np.sin(be), 0, np.cos(be)]])
+        Rx = np.array([[1, 0, 0], [0, np.cos(c), -np.sin(c)],
+                       [0, np.sin(c), np.cos(c)]])
+        cam_tfs[b, :3, :3] = Rz @ Ry @ Rx
+        cam_tfs[b, :3, 3] = rng.uniform(-1, 1, 3)
+        cam_tfs[b, 3, 3] = 1.0
     classes = ["bed", "sofa", "chair", "table"]
 
     nd = Y.nms_device(jnp.asarray(boxes), jnp.asarray(conf),
