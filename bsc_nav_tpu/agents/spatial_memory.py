@@ -183,8 +183,22 @@ class VoxelTokenMemory:
             return
         B = self.perception.batch_size
         H, W = self.cfg.sensor.height, self.cfg.sensor.width
-        if self.detector is not None and hasattr(self.detector,
-                                                 "detect_batch"):
+        if self.detector is not None and hasattr(
+                self.detector, "detect_batch_instances"):
+            # fully device-side long-term feed (forward -> decode ->
+            # NMS -> depth backprojection in ONE dispatch; host python
+            # in the build loop contends with the tunnel client)
+            rgbs = np.stack([f[0] for f in self._queue])
+            depths = np.stack([f[1] for f in self._queue])
+            cam_tfs = np.stack([self._host_cam_to_world(f[2])
+                                for f in self._queue])
+            new = self.detector.detect_batch_instances(
+                rgbs, depths, cam_tfs, self.cfg)
+            if new:
+                self.long_memory_dict.extend(new)
+                self.long_memory_integration()
+        elif self.detector is not None and hasattr(self.detector,
+                                                   "detect_batch"):
             rgbs = np.stack([f[0] for f in self._queue])
             all_dets = self.detector.detect_batch(rgbs)
             for (rgb_f, depth_f, pose_f), dets in zip(self._queue, all_dets):

@@ -25,6 +25,7 @@ remain environment-blocked (no checkpoint downloads here).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -501,11 +502,56 @@ class YoloWorldDetector:
         self._fwd_topk = jax.jit(
             lambda p, x, t: decode_topk_device(
                 forward(p, x, t, cfg), cfg, k=256))
+        self._inst_fn = None        # lazy jit for detect_batch_instances
+        self._inst_cfg = None
 
     def detect(self, rgb: np.ndarray) -> List[Detection]:
         # fused device decode/top-k path (ONE dispatch, [k,*] transfer);
         # the host-side decode_boxes path paid per-level tunnel syncs
         return self.detect_batch(rgb[None])[0]
+
+    def detect_batch_instances(self, rgbs, depths, cam_tfs, mem_cfg):
+        """Whole long-term-memory feed on device: forward -> decode ->
+        class-wise NMS -> depth backprojection to grid instances, ONE
+        dispatch + one small [B, 32, *] transfer (host python in the
+        build loop contends with the tunnel client for the single CPU
+        core -- CLAUDE.md; reference path memory_2.py:905-945).
+
+        rgbs [B, H0, W0, 3] uint8; depths [B, H0, W0] f32;
+        cam_tfs [B, 4, 4] camera->allocentric.  Returns the flat
+        instance-dict list for the batch (pre-integration)."""
+        from bsc_nav_tpu.memory import longterm as LT
+
+        if self._inst_fn is not None and self._inst_cfg != mem_cfg:
+            self._inst_fn = None      # config changed: rebuild the jit
+        if self._inst_fn is None:
+            self._inst_cfg = mem_cfg
+            det_cfg, conf_thr = self.cfg, self.confidence
+            iou = self.iou_thr
+
+            @jax.jit
+            def inst_fn(p, rgbs_u8, t, depths_d, cam_d):
+                s = det_cfg.img_size
+                x = rgbs_u8.astype(jnp.float32) / 255.0
+                if x.shape[1] != s or x.shape[2] != s:
+                    x = jax.image.resize(
+                        x, (x.shape[0], s, s, 3), "bilinear")
+                boxes, conf, cls_idx = decode_topk_device(
+                    forward(p, x, t, det_cfg), det_cfg, k=64)
+                boxes, conf, cls_idx, ok = nms_device(
+                    boxes, conf, cls_idx, iou_thr=iou,
+                    conf_thr=conf_thr, k_out=32)
+                return LT.instances_device(
+                    boxes, conf, cls_idx, ok, depths_d, cam_d, mem_cfg,
+                    s)
+
+            self._inst_fn = inst_fn
+        dev = self._inst_fn(self.params,
+                            jnp.asarray(np.asarray(rgbs)[..., :3]),
+                            self.text_emb,
+                            jnp.asarray(depths, jnp.float32),
+                            jnp.asarray(cam_tfs, jnp.float32))
+        return LT.instances_from_device(dev, self.classes)
 
     def detect_batch(self, rgbs: np.ndarray) -> List[List[Detection]]:
         """Batched forward + device decode/top-k (one device call, one

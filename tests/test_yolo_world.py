@@ -220,3 +220,51 @@ def test_convert_ultralytics_strict_catches_drops():
     sd["model.23.rogue.weight"] = torch.zeros(3, 3)
     with pytest.raises(ValueError, match="unconsumed"):
         Y.convert_ultralytics(sd, cfg, strict=True)
+
+
+def test_detect_batch_instances_matches_host_chain():
+    """YoloWorldDetector.detect_batch_instances (the fully device-side
+    long-term feed the agent flush uses) == detect_batch + host
+    instances_from_detections."""
+    from bsc_nav_tpu.config import small_test_config
+    from bsc_nav_tpu.memory import longterm as LT
+
+    cfg = CFG
+    nav_cfg = small_test_config()
+    params = Y.init_params(cfg, jax.random.PRNGKey(0), text_dim=cfg.embed_dim)
+    rng = np.random.default_rng(4)
+    classes = ["bed", "sofa", "chair"]
+    temb = rng.normal(size=(3, cfg.embed_dim)).astype(np.float32)
+    # threshold below sigmoid(logit_bias=-10) ~ 4.5e-5 so the
+    # random-weight detector actually fires
+    det = Y.YoloWorldDetector(params, cfg, classes, temb, confidence=1e-5)
+
+    B = 2
+    H = W = nav_cfg.sensor.height
+    rgbs = rng.integers(0, 255, size=(B, H, W, 3), dtype=np.uint8)
+    depths = rng.uniform(0.3, 9.0, size=(B, H, W)).astype(np.float32)
+    cam_tfs = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+    cam_tfs[:, :3, 3] = rng.uniform(-1, 1, size=(B, 3))
+
+    got = det.detect_batch_instances(rgbs, depths, cam_tfs, nav_cfg)
+
+    # host chain over the SAME k=64 candidate pool the device path
+    # decodes (at the real conf 0.55 the pools are identical; with
+    # random weights every conf ties at sigmoid(-10) so the pool edge
+    # would differ)
+    x = jnp.asarray(rgbs, jnp.float32) / 255.0
+    x = jax.image.resize(x, (B, cfg.img_size, cfg.img_size, 3),
+                         "bilinear")
+    boxes, conf, cls_idx = (np.asarray(a) for a in Y.decode_topk_device(
+        Y.forward(params, x, jnp.asarray(det.text_emb), cfg), cfg, k=64))
+    want = []
+    for b in range(B):
+        sel = conf[b] >= det.confidence
+        dets = det._nms_detections(boxes[b][sel], cls_idx[b][sel],
+                                   conf[b][sel], H, W)
+        want += LT.instances_from_detections(dets, depths[b], cam_tfs[b],
+                                             nav_cfg)
+    key = lambda d: (d["label"], round(d["confidence"], 4),
+                     tuple(d["loc"]))
+    assert len(got) > 0, "random detector at conf 0.001 must fire"
+    assert sorted(map(key, got)) == sorted(map(key, want))
