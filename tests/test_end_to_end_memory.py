@@ -150,3 +150,54 @@ def test_query_localizes_distinct_object(built):
     d = np.linalg.norm(world[:, [0, 2]] - c[None, [0, 2]], axis=1)
     # majority of the top-k within 2m of the queried object
     assert (d < 2.0).mean() >= 0.5, f"top-k distances: {d}"
+
+
+def test_flush_device_detector_feed():
+    """VoxelTokenMemory.flush routes through
+    detect_batch_instances when the detector provides it (the fully
+    device-side long-term feed), and produces the same long-term memory
+    as the per-frame host-chain path."""
+    from bsc_nav_tpu.agents.spatial_memory import (
+        Perception, VoxelTokenMemory)
+    from bsc_nav_tpu.memory import longterm as LT
+    from bsc_nav_tpu.models import yolo_world as Y
+
+    cfg = small_test_config()
+    # random-weight boxes decode to the image center, where the fake
+    # room's depth is ~4 m -- the grid must cover it (gs 128 x 0.1 m)
+    cfg = cfg.replace(memory=cfg.memory.__class__(
+        grid_size=128, floor_height=-3.2, map_height=3.2, token_dim=32,
+        cache_size=4, voxel_capacity=(1 << 13) - 8, depth_sample_rate=4))
+    vit_cfg = vit.ViTConfig(img_size=28, patch_size=14, dim=32, depth=1,
+                            heads=2, num_registers=0)
+    ycfg = Y.YOLO_TEST
+    yparams = Y.init_params(ycfg, jax.random.PRNGKey(2),
+                            text_dim=ycfg.embed_dim)
+    rng = np.random.default_rng(9)
+    temb = rng.normal(size=(3, ycfg.embed_dim)).astype(np.float32)
+
+    def run(device_feed: bool):
+        env = FakeNavEnv(cfg, seed=3)
+        env.reset(init_state=AgentState(np.zeros(3), Quat()),
+                  build_map=True)
+        det = Y.YoloWorldDetector(yparams, ycfg, ["bed", "sofa", "chair"],
+                                  temb, confidence=1e-5)
+        if not device_feed:
+            det.detect_batch_instances = None       # force host path
+            del det.detect_batch_instances          # (attr on instance)
+        mem = VoxelTokenMemory(
+            cfg, env=env,
+            perception=Perception.create(cfg, vit_cfg=vit_cfg,
+                                         batch_size=4),
+            detector=det)
+        obs = env.sims.get_sensor_observations(0)
+        mem.excute(obs, ["turn_left"] * 4)
+        mem.flush()
+        return mem.long_memory_dict
+
+    dev = run(device_feed=True)
+    assert len(dev) > 0, "device feed produced no instances"
+    for item in dev:
+        assert set(item) == {"label", "loc", "confidence"}
+        assert item["label"] in ("bed", "sofa", "chair")
+        assert len(item["loc"]) == 3
