@@ -129,6 +129,13 @@ def init_params(cfg: ViTConfig, key: jnp.ndarray,
 # --------------------------------------------------------------------------
 
 def layer_norm(x, p, eps):
+    # Measured negative result (r3): a Pallas LN kernel
+    # (ops/layernorm.py) loses 2.3 ms in-context on the full ViT-L
+    # encoder (37.6 -> 39.6-40.1 ms/b32 across bm 128/256/512/2048)
+    # even though the isolated trace attributed 20.5 ms to LN reduce
+    # fusions -- XLA overlaps those cross-lane reductions with MXU
+    # work, so replacing them buys nothing and breaks fusion.  Keep
+    # the jnp formulation.
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.var(xf, axis=-1, keepdims=True)
