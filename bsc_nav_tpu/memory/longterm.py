@@ -164,6 +164,77 @@ def integrate(instances: List[Dict], threshold: int = 3) -> List[Dict]:
     return final
 
 
+def integrate_state_init(capacity: int):
+    """Device-resident long-term instance state: capacity-bounded
+    buffers with one garbage row (index = capacity, repo convention).
+    cls initialized to -1 so empty slots can never label-match."""
+    import jax.numpy as jnp
+    return (jnp.zeros((capacity + 1, 3), jnp.int32),
+            jnp.zeros((capacity + 1,), jnp.float32),
+            jnp.full((capacity + 1,), -1, jnp.int32),
+            jnp.zeros((), jnp.int32))
+
+
+def integrate_device_scan(state, locs, conf, cls_idx, ok,
+                          threshold: int = 3):
+    """DEVICE re-run of the reference's full cumulative integration
+    (memory_2.py:993-1025: `long_memory_integration` is re-applied to
+    the whole list every frame) as ONE jitted lax.scan: the previous
+    keepers (slot order) followed by the new batch's detections
+    (frame-major, conf-desc inside a frame = NMS output order) rebuild
+    a fresh keeper list from scratch -- bit-identical to
+    `integrate(kept_list + new_items)` on host, including the
+    keeper-drift re-merges a purely incremental match would miss.
+
+    Label grouping note: the host groups by label before scanning, but
+    cross-label items never interact, so scanning in interleaved order
+    with a label-equality hit test yields the same per-label keepers;
+    only the output ordering differs (tests compare as multisets).
+
+    state: integrate_state_init tuple; locs [B, K, 3] i32, conf/cls_idx/
+    ok [B, K] from instances_device.  Returns the new state."""
+    import jax
+    import jax.numpy as jnp
+
+    kept_loc, kept_conf, kept_cls, m = state
+    C = kept_loc.shape[0] - 1
+    it_loc = jnp.concatenate([kept_loc[:C], locs.reshape(-1, 3)], 0)
+    it_conf = jnp.concatenate([kept_conf[:C], conf.reshape(-1)], 0)
+    it_cls = jnp.concatenate(
+        [kept_cls[:C], cls_idx.reshape(-1).astype(jnp.int32)], 0)
+    it_ok = jnp.concatenate([jnp.arange(C) < m, ok.reshape(-1)], 0)
+
+    slot = jnp.arange(C)
+
+    def step(carry, item):
+        k_loc, k_conf, k_cls, n = carry
+        loc, cf, cl, valid = item
+        d = jnp.abs(k_loc[:C] - loc[None, :]).sum(1)
+        hit = (d <= threshold) & (k_cls[:C] == cl) & (slot < n) & valid
+        any_hit = jnp.any(hit)
+        j = jnp.argmax(hit)                    # first keeper hit
+        upgrade = any_hit & (cf > k_conf[j])
+        append = valid & ~any_hit & (n < C)
+        widx = jnp.where(upgrade, j, jnp.where(append, n, C))
+        k_loc = k_loc.at[widx].set(loc)
+        k_conf = k_conf.at[widx].set(cf)
+        k_cls = k_cls.at[widx].set(cl)
+        return (k_loc, k_conf, k_cls, n + append.astype(jnp.int32)), None
+
+    out, _ = jax.lax.scan(step, integrate_state_init(C),
+                          (it_loc, it_conf, it_cls, it_ok))
+    return out
+
+
+def instances_from_integrate_state(state, classes: Sequence[str]
+                                   ) -> List[Dict]:
+    """ONE small transfer -> instance dicts (host order = slot order)."""
+    k_loc, k_conf, k_cls, m = (np.asarray(a) for a in state)
+    return [{"label": classes[int(k_cls[i])],
+             "loc": k_loc[i].tolist(),
+             "confidence": float(k_conf[i])} for i in range(int(m))]
+
+
 def filter_by_floor(instances: List[Dict], floor_min: int,
                     floor_max: int) -> List[Dict]:
     """Single-floor filter (memory_2.py:693-705)."""

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from bsc_nav_tpu.models.vit import _linear, layer_norm
 from bsc_nav_tpu.ops.flash_attention import (
     attention, joint_qkv_attention, joint_qkv_attention_tp,
-    use_joint_qkv_attention)
+    self_qkv_dispatch, use_joint_qkv_attention)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -239,13 +239,26 @@ def _joint_block(x, ctx, c, blk, cfg: MMDiTConfig, tp_mesh=None):
         # attention residual (diffusers JointTransformerBlock with
         # use_dual_attention=True)
         xn2 = _modulate(xpn, mods["x"][6], mods["x"][7])
-        s2 = {"qkv": blk["x"]["qkv2"]}
-        if cfg.qk_norm:
-            s2["q_norm"] = blk["x"]["q_norm2"]
-            s2["k_norm"] = blk["x"]["k_norm2"]
-        q2, k2, v2 = _stream_qkv(xn2, s2, cfg)
-        att2 = attention(q2, k2, v2)
-        att2 = att2.transpose(0, 2, 1, 3).reshape(x.shape[0], Sx, cfg.dim)
+        if tp_mesh is None:
+            # fused path: the joint-qkv kernel with an empty ctx stream
+            # reads head-pair column blocks straight from the [B,S,3D]
+            # qkv2 matmul output, RMS qk-norm in kernel -- no head
+            # transposes (ops/flash_attention.self_qkv_dispatch)
+            qkv2_act = _linear(xn2, blk["x"]["qkv2"])
+            att2 = self_qkv_dispatch(
+                qkv2_act, cfg.heads,
+                blk["x"].get("q_norm2"), blk["x"].get("k_norm2"))
+        else:
+            # TP: qkv2/proj2 stay replicated (parallel/mesh leaves the
+            # dual-attn params unsharded); plain per-shard path
+            s2 = {"qkv": blk["x"]["qkv2"]}
+            if cfg.qk_norm:
+                s2["q_norm"] = blk["x"]["q_norm2"]
+                s2["k_norm"] = blk["x"]["k_norm2"]
+            q2, k2, v2 = _stream_qkv(xn2, s2, cfg)
+            att2 = attention(q2, k2, v2)
+            att2 = att2.transpose(0, 2, 1, 3).reshape(
+                x.shape[0], Sx, cfg.dim)
         x = x + mods["x"][8][:, None] * _linear(att2, blk["x"]["proj2"])
 
     xm = _modulate(_pre_norm(x, cfg.ln_eps), mods["x"][3], mods["x"][4])

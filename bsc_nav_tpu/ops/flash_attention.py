@@ -620,6 +620,19 @@ def joint_qkv_dispatch(qkv_x, qkv_c, heads: int, q_gamma_x, k_gamma_x,
                                q_gamma_c, k_gamma_c, eps=eps)
 
 
+def self_qkv_dispatch(qkv, heads: int, q_gamma, k_gamma,
+                      eps: float = 1e-6):
+    """Single-stream specialization of the fused joint-qkv kernel: an
+    empty ctx stream (Sc=0) reduces the joint attention to plain
+    self-attention with in-kernel RMS qk-norm, still reading head-pair
+    column blocks straight from the [B, S, 3D] qkv matmul output.  Used
+    by the MMDiT-X dual-attention branch (SD3.5-medium blocks 0-12,
+    S=1024 @512px -- tiles exactly at bq=512); diffusers analog is the
+    plain attn2 self-attention.  gammas None -> composed reference."""
+    return joint_qkv_dispatch(qkv, qkv[:, :0], heads, q_gamma, k_gamma,
+                              q_gamma, k_gamma, eps=eps)
+
+
 def joint_qkv_attention_tp(qkv_x, qkv_c, heads: int, q_gamma_x,
                            k_gamma_x, q_gamma_c, k_gamma_c, mesh,
                            axis: str = "mp", eps: float = 1e-6):

@@ -56,6 +56,43 @@ def test_longterm_integration_dedup():
     assert len([o for o in out if o["label"] == "table"]) == 1
 
 
+def test_integrate_device_scan_matches_host_cumulative(rng):
+    """The device-resident keeper scan (longterm.integrate_device_scan)
+    re-runs the reference's cumulative integration every batch; over a
+    multi-batch stream it must produce the same keeper multiset as the
+    host path `list = integrate(list + new_batch)` (the agent's
+    long_memory_dict update, memory_2.py:993-1025 semantics)."""
+    import jax
+    import jax.numpy as jnp
+
+    classes = ["chair", "table", "sofa"]
+    B, K, T, cap = 2, 4, 5, 64
+    scan = jax.jit(LT.integrate_device_scan, static_argnames="threshold")
+
+    state = LT.integrate_state_init(cap)
+    host: list = []
+    for _ in range(T):
+        # clustered random detections so merges/upgrades actually occur
+        locs = rng.integers(0, 6, size=(B, K, 3)).astype(np.int32)
+        conf = rng.random((B, K)).astype(np.float32)
+        cls_idx = rng.integers(0, len(classes), size=(B, K)).astype(np.int32)
+        ok = rng.random((B, K)) > 0.3
+
+        state = scan(state, jnp.asarray(locs), jnp.asarray(conf),
+                     jnp.asarray(cls_idx), jnp.asarray(ok), threshold=3)
+
+        new = [{"label": classes[cls_idx[b, k]],
+                "loc": locs[b, k].tolist(),
+                "confidence": float(conf[b, k])}
+               for b in range(B) for k in range(K) if ok[b, k]]
+        host = LT.integrate(host + new, threshold=3)
+
+        got = LT.instances_from_integrate_state(state, classes)
+        key = lambda o: (o["label"], tuple(o["loc"]),
+                         round(o["confidence"], 5))
+        assert sorted(map(key, got)) == sorted(map(key, host))
+
+
 def test_floor_detection_two_floors():
     base = [0.1] * 20 + [3.1] * 20
     floors = F.detect_floors(base)

@@ -219,3 +219,39 @@ def test_joint_qkv_attention_matches_composed_path():
 
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_self_qkv_kernel_empty_ctx_matches_composed_path():
+    """The single-stream specialization (MMDiT-X dual attention): the
+    fused joint kernel with Sc=0 == split/transpose + RMS qk-norm +
+    reference attention."""
+    import jax
+    import jax.numpy as jnp
+    from bsc_nav_tpu.ops import flash_attention as FA
+
+    B, S, heads, hd = 2, 40, 2, 64
+    D = heads * hd
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    qkv = jax.random.normal(ks[0], (B, S, 3 * D), jnp.float32)
+    gq = jax.random.normal(ks[1], (hd,)) * 0.1 + 1.0
+    gk = jax.random.normal(ks[2], (hd,)) * 0.1 + 1.0
+
+    got = FA.joint_qkv_attention(qkv, qkv[:, :0], heads, gq, gk, gq, gk,
+                                 bq=128, interpret=True)
+
+    def rms(t, g):
+        var = jnp.mean(jnp.square(t), axis=-1, keepdims=True)
+        return t * jax.lax.rsqrt(var + 1e-6) * g
+
+    r = qkv.reshape(B, S, 3, heads, hd)
+    q, k, v = (r[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+    want = FA.reference_attention(rms(q, gq), rms(k, gk), v)
+    want = want.transpose(0, 2, 1, 3).reshape(B, S, D)
+    import numpy as np
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    # and the dispatch wrapper (CPU -> composed reference) agrees too
+    got2 = FA.self_qkv_dispatch(qkv, heads, gq, gk)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
