@@ -171,6 +171,17 @@ def main():
         batch_inst = LT.instances_from_device(dev_out, DETECT_CLASSES)
         instances[:] = LT.integrate(instances + batch_inst)
 
+    # BENCH_INTEGRATE=device: keep the cumulative dedup integration ON
+    # DEVICE too (longterm.integrate_device_scan) -- zero per-batch
+    # transfers/syncs, ONE small transfer at the end.  A/B'd against
+    # the overlapped host post (which costs one pipelined sync/batch +
+    # host python that contends with the tunnel client).
+    integrate_on_device = os.environ.get("BENCH_INTEGRATE") == "device"
+    lt_scan = jax.jit(LT.integrate_device_scan,
+                      static_argnames="threshold",
+                      donate_argnums=(0,))
+    LT_CAP = 2048
+
     def make_batch(seed):
         r = np.random.default_rng(seed)
         rgb = r.integers(0, 255, size=(B, H, W, 3), dtype=np.uint8)
@@ -222,11 +233,17 @@ def main():
                               stress_rate=det_rate)
     _ = float(dev_out[1][0, 0])
     log(f"stressed-variant compile+first: {time.perf_counter()-t0:.1f}s")
+    if integrate_on_device:
+        t0 = time.perf_counter()
+        warm = lt_scan(LT.integrate_state_init(LT_CAP), *dev_out)
+        _ = float(warm[1][0])
+        log(f"lt-scan compile+first: {time.perf_counter()-t0:.1f}s")
 
     def full_build(stress_rate):
         state = init_store(cfg.memory, store_dtype=store_dtype)
         carry = (state, jax.random.PRNGKey(0))
         instances = []
+        lt_state = LT.integrate_state_init(LT_CAP)
         pending = None
         t0 = time.perf_counter()
         for i in range(n_iters):
@@ -236,10 +253,18 @@ def main():
             this = detect_dispatch(yparams, rgb_d, detector.text_emb,
                                    depth_d, poses_d,
                                    stress_rate=stress_rate)
-            if pending is not None:        # overlaps device compute
+            if integrate_on_device:
+                locs, conf, cls_idx, ok = this
+                lt_state = lt_scan(lt_state, locs, conf, cls_idx, ok)
+            elif pending is not None:      # overlaps device compute
                 detect_host_post(pending, instances)
-            pending = this
-        detect_host_post(pending, instances)
+            if not integrate_on_device:
+                pending = this
+        if integrate_on_device:
+            instances = LT.instances_from_integrate_state(
+                lt_state, DETECT_CLASSES)
+        else:
+            detect_host_post(pending, instances)
         n_vox_final = int(stats["num_voxels"])  # forces execution
         dt = time.perf_counter() - t0
         return (n_iters * B / dt, carry[0], instances, n_vox_final,

@@ -46,6 +46,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache (same dir as bench.py): unchanged rows
+    # reload in seconds instead of recompiling cold (ViT-L ~267 s)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR",
+                                     "/tmp/bsc_nav_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
     results = {"devices": str(jax.devices())}
     rows = []
 
