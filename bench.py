@@ -173,9 +173,12 @@ def main():
 
     # BENCH_INTEGRATE=device: keep the cumulative dedup integration ON
     # DEVICE too (longterm.integrate_device_scan) -- zero per-batch
-    # transfers/syncs, ONE small transfer at the end.  A/B'd against
-    # the overlapped host post (which costs one pipelined sync/batch +
-    # host python that contends with the tunnel client).
+    # transfers/syncs, ONE small transfer at the end.  MEASURED NEGATIVE
+    # (r3 back-to-back A/B, B=32 @6 det/frame): device 183.8 fps vs
+    # host-overlapped 214.3 fps, identical 734 instances.  The scan's
+    # C+B*K = 3072 sequential lax.scan steps cost ~16 ms/batch of
+    # critical-path device time, while the host post rides the double
+    # buffer for free.  Kept as an option for hosts too weak to overlap.
     integrate_on_device = os.environ.get("BENCH_INTEGRATE") == "device"
     lt_scan = jax.jit(LT.integrate_device_scan,
                       static_argnames="threshold",

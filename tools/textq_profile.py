@@ -1,0 +1,188 @@
+"""Text-query end-to-end phase breakdown on the real TPU.
+
+The bench's text query (bench.py:_text_query_phase) measures ~3.6-4.0 s
+e2e while the MMDiT smoke row accounts for only 28 x ~71 ms = ~2.0 s.
+This tool times each stage separately (same configs/shapes as bench.py):
+
+  clip+sample : CLIP text encode + 28-step CFG rectified-flow sampling
+                (no VAE) -- the latents are materialized
+  vae         : VAE decode 3x512^2 from latents
+  encode+loc  : DINOv2 encode of the 3 imagined images + store localize
+  e2e         : the real composed path (imagination() + query_step)
+
+Run alone on the TPU (one-process rule, CLAUDE.md); all output stderr
+except a final JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def timeit(fn, n=3):
+    fn()  # warm (compile)
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts) * 1000)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR",
+                                     "/tmp/bsc_nav_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    import dataclasses
+
+    from bsc_nav_tpu.config import Config, MemoryConfig
+    from bsc_nav_tpu.memory.pipeline import make_query_step
+    from bsc_nav_tpu.memory.store import init_store
+    from bsc_nav_tpu.models import clip as C
+    from bsc_nav_tpu.models import mmdit as M
+    from bsc_nav_tpu.models import tokenizer as T
+    from bsc_nav_tpu.models import vae as V
+    from bsc_nav_tpu.models import vit
+    from bsc_nav_tpu.models.imagination import DiffusionImagination
+
+    full = jax.default_backend() == "tpu"
+    log(f"backend: {jax.default_backend()} (full={full})")
+
+    cfg = Config(memory=MemoryConfig(voxel_capacity=(1 << 18) - 8)) \
+        if full else Config(memory=MemoryConfig(
+            grid_size=128, token_dim=256, voxel_capacity=(1 << 14) - 8))
+    vit_cfg = vit.DINOV2_VITL14_REG if full else vit.ViTConfig(
+        img_size=224, patch_size=14, dim=256, depth=2, heads=4,
+        num_registers=4)
+    mcfg = M.SD35_MEDIUM if full else M.MMDIT_TEST
+    vcfg = V.SD3_VAE if full else V.VAEConfig(
+        latent_channels=mcfg.in_channels, base_channels=32,
+        channel_mults=(1, 2), blocks_per_stage=1)
+    ccfg = dataclasses.replace(
+        C.METACLIP_VITH14, vision_width=64, vision_layers=1,
+        vision_heads=1) if full else C.CLIP_VITB32_TEST
+
+    rng = np.random.default_rng(0)
+    vparams = vit.init_params(vit_cfg, jax.random.PRNGKey(0),
+                              dtype=jnp.bfloat16)
+    query_step = make_query_step(cfg, vit_cfg, compute_dtype=jnp.bfloat16)
+    state = init_store(cfg.memory, store_dtype=jnp.bfloat16)
+
+    tokzr = T.HashTokenizer(vocab_size=ccfg.vocab_size,
+                            context_length=ccfg.context_length)
+    imagination = DiffusionImagination(
+        mmdit_params=M.init_params(mcfg, jax.random.PRNGKey(2),
+                                   dtype=jnp.bfloat16),
+        mmdit_cfg=mcfg,
+        vae_params=V.init_params(vcfg, jax.random.PRNGKey(3),
+                                 dtype=jnp.bfloat16),
+        vae_cfg=vcfg,
+        clip_params=C.init_params(ccfg, jax.random.PRNGKey(4),
+                                  dtype=jnp.bfloat16),
+        clip_cfg=ccfg,
+        num_images=3,
+        num_steps=28 if full else 4,
+    )
+
+    res = {}
+
+    # ---- stage: clip + sample (no VAE) --------------------------------
+    n = imagination.num_images
+
+    @jax.jit
+    def clip_sample(mp, tp, ids, ids_u, key):
+        ctx, pool = imagination_encode(tp, ids)
+        ctx_u, pool_u = imagination_encode(tp, ids_u)
+        rep = lambda a: jnp.repeat(a, n, axis=0)
+        return M.sample(mp, key, rep(ctx), rep(pool), mcfg,
+                        num_steps=imagination.num_steps,
+                        guidance_scale=7.0,
+                        context_uncond=rep(ctx_u),
+                        pooled_uncond=rep(pool_u))
+
+    def imagination_encode(tp, ids):
+        x = tp["token_embedding"][ids] + tp["pos_embed"][None]
+        x = C._tower_forward(x, tp["blocks"], ccfg.text_heads,
+                             ccfg.ln_eps, causal=True)
+        from bsc_nav_tpu.models.vit import layer_norm
+        x = layer_norm(x, tp["ln_final"], ccfg.ln_eps)
+        eot = jnp.argmax(ids, axis=-1)
+        pooled = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
+
+        def fit(a, dim):
+            d = a.shape[-1]
+            if d >= dim:
+                return a[..., :dim]
+            pad = [(0, 0)] * (a.ndim - 1) + [(0, dim - d)]
+            return jnp.pad(a, pad)
+        return fit(x, mcfg.context_dim), fit(pooled, mcfg.pooled_dim)
+
+    ids = jnp.asarray(T.tokenize(["a red sofa"], tokzr))
+    ids_u = jnp.asarray(T.tokenize([""], tokzr))
+    key = jax.random.PRNGKey(7)
+
+    def run_clip_sample():
+        lat = clip_sample(imagination.mmdit_params,
+                          imagination.clip_params["text"], ids, ids_u, key)
+        _ = float(lat[0, 0, 0, 0])
+        return lat
+
+    res["clip_sample_ms"] = timeit(run_clip_sample)
+    log(f"clip+sample({imagination.num_steps} steps): "
+        f"{res['clip_sample_ms']:.0f} ms")
+    lat = run_clip_sample()
+
+    # ---- stage: VAE decode -------------------------------------------
+    @jax.jit
+    def vae_dec(vp, z):
+        return V.to_uint8(V.decode(vp, z, vcfg))
+
+    def run_vae():
+        img = vae_dec(imagination.vae_params, lat)
+        _ = int(img[0, 0, 0, 0])
+        return img
+
+    res["vae_decode_ms"] = timeit(run_vae)
+    log(f"vae decode 3x512^2: {res['vae_decode_ms']:.0f} ms")
+    imgs = np.asarray(run_vae())
+
+    # ---- stage: encode + localize ------------------------------------
+    qimg = jnp.asarray(imgs)
+
+    def run_query():
+        pos, scores = query_step(state, vparams, qimg, top_k=100)
+        _ = float(scores[0])
+
+    res["encode_localize_ms"] = timeit(run_query)
+    log(f"dinov2 encode + localize: {res['encode_localize_ms']:.0f} ms")
+
+    # ---- e2e (the real composed path) --------------------------------
+    def run_e2e():
+        im = imagination("a wooden chair near a window")
+        pos, scores = query_step(state, vparams, jnp.asarray(im),
+                                 top_k=100)
+        _ = float(scores[0])
+
+    res["e2e_ms"] = timeit(run_e2e)
+    log(f"e2e: {res['e2e_ms']:.0f} ms")
+    res["accounted_ms"] = (res["clip_sample_ms"] + res["vae_decode_ms"]
+                           + res["encode_localize_ms"])
+    print(json.dumps({k: round(v, 1) for k, v in res.items()}))
+
+
+if __name__ == "__main__":
+    main()
