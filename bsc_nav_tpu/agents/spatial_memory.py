@@ -47,6 +47,7 @@ class Perception:
     query_step: Callable
     pool_step: Optional[Callable] = None   # images -> pooled query vector
     batch_size: int = 8
+    compute_dtype: object = jnp.float32
 
     @staticmethod
     def create(cfg: Config, vit_cfg: Optional[vit.ViTConfig] = None,
@@ -92,6 +93,7 @@ class Perception:
             query_step=make_query_step(cfg, vit_cfg, compute_dtype),
             pool_step=pool_step,
             batch_size=batch_size,
+            compute_dtype=compute_dtype,
         )
 
 
@@ -113,6 +115,8 @@ class VoxelTokenMemory:
         self.perception = perception
         self.detector = detector
         self.imagination = imagination
+        self._text_query_step = None     # lazily-built fused text query
+        self.last_imagined = None        # device imgs from the last one
         self.memory_save_path = memory_path or os.path.join(
             cfg.memory_path, cfg.sim.scene_name)
 
@@ -287,6 +291,62 @@ class VoxelTokenMemory:
                 "pass imagination= to VoxelTokenMemory)")
         return self.imagination(text_prompt)
 
+    def _mask_kwargs(self, region_radius: float, curr_grid):
+        """Region + single-floor mask arguments shared by every
+        localize-shaped jitted step (query_step / text_query_step)."""
+        use_region = bool(np.isfinite(region_radius))
+        use_floor = (self.load_single_floor
+                     and self.floor_min_height is not None)
+        return dict(
+            use_region=use_region,
+            curr_grid=jnp.asarray(
+                curr_grid if curr_grid is not None else np.zeros(3),
+                jnp.int32),
+            region_radius=float(region_radius if use_region else 0.0),
+            use_floor=bool(use_floor),
+            floor_range=jnp.asarray(
+                [self.floor_min_height or 0, self.floor_max_height or 0],
+                jnp.int32),
+        )
+
+    @staticmethod
+    def _live_topk(positions, scores):
+        """Drop -inf (masked / empty-store) rows; reference returns only
+        occupied voxels (memory_2.py:653-671)."""
+        positions = np.asarray(positions)
+        scores = np.asarray(scores)
+        live = scores > -np.inf
+        positions, scores = positions[live], scores[live]
+        if len(positions) == 0:
+            return np.zeros((0, 3), int), np.zeros((0, 3), int), scores
+        return positions[:1], positions, scores
+
+    def _get_text_query_step(self):
+        if self._text_query_step is None:
+            from bsc_nav_tpu.memory.pipeline import make_text_query_step
+            self._text_query_step = make_text_query_step(
+                self.cfg, self.perception.vit_cfg, self.imagination,
+                self.perception.compute_dtype)
+        return self._text_query_step
+
+    def _voxel_localized_text_fused(self, prompt: str, K: int,
+                                    region_radius: float, curr_grid):
+        """Single-program text query: imagination + encode + localize
+        traced together (memory.pipeline.make_text_query_step) -- no
+        decoded-image round trip through the host between the diffusion
+        samples and the DINOv2 encode."""
+        im = self.imagination
+        ids, ids_u, t5_ids, t5_ids_u = im.prep_inputs(prompt)
+        positions, scores, imgs = self._get_text_query_step()(
+            self.state, self.perception.vit_params,
+            im.mmdit_params, im.vae_params, im.clip_params["text"],
+            im.t5_params, ids, ids_u, t5_ids, t5_ids_u, im.next_key(),
+            top_k=K, **self._mask_kwargs(region_radius, curr_grid))
+        # device array, unsynced: consumers that want the imagined views
+        # (VLM verification, visualization) materialize lazily
+        self.last_imagined = imgs
+        return self._live_topk(positions, scores)
+
     def voxel_localized(self, prompt, K: int = 100,
                         region_radius: float = np.inf,
                         curr_grid=None):
@@ -294,6 +354,12 @@ class VoxelTokenMemory:
         top_k_similarity [<=K]) like memory_2.py:671."""
         self.flush()
         if isinstance(prompt, str):
+            if (self.imagination is not None
+                    and hasattr(self.imagination, "imagine_core")
+                    and not (self.segments is not None
+                             and self.segments.num_segments > 1)):
+                return self._voxel_localized_text_fused(
+                    prompt, K, region_radius, curr_grid)
             imgs = self.imaginary(prompt)
         else:
             arr = np.asarray(prompt)
@@ -328,23 +394,8 @@ class VoxelTokenMemory:
 
         positions, scores = self.perception.query_step(
             self.state, self.perception.vit_params, imgs, top_k=K,
-            use_region=bool(use_region),
-            curr_grid=jnp.asarray(
-                curr_grid if curr_grid is not None else np.zeros(3),
-                jnp.int32),
-            region_radius=float(region_radius if use_region else 0.0),
-            use_floor=bool(use_floor),
-            floor_range=jnp.asarray(
-                [self.floor_min_height or 0, self.floor_max_height or 0],
-                jnp.int32),
-        )
-        positions = np.asarray(positions)
-        scores = np.asarray(scores)
-        live = scores > -np.inf
-        positions, scores = positions[live], scores[live]
-        if len(positions) == 0:
-            return np.zeros((0, 3), int), np.zeros((0, 3), int), scores
-        return positions[:1], positions, scores
+            **self._mask_kwargs(region_radius, curr_grid))
+        return self._live_topk(positions, scores)
 
     def voxel_localized_batch(self, prompts, K: int = 100,
                               region_radii=None, curr_grid=None):

@@ -95,6 +95,54 @@ def make_query_step(cfg: Config, vit_cfg: vit.ViTConfig,
     return query_step
 
 
+def make_text_query_step(cfg: Config, vit_cfg: vit.ViTConfig,
+                         imagination, compute_dtype=jnp.float32):
+    """Fused text query: ONE jitted program for the whole
+    text -> imagined images -> DINOv2 encode -> store localize path
+    (reference two-stage flow memory_2.py:258-276 `imaginary` +
+    :563-671 `voxel_localized`).
+
+    The two-stage path decodes the diffusion samples, syncs them to
+    host as uint8, re-uploads them, and dispatches a second program --
+    on a tunneled TPU deployment that round trip measured ~270 ms of
+    the text-query e2e (tools/textq_profile.py).  Tracing
+    `imagination.imagine_core` together with the encoder and the store
+    scan keeps the images on device and gives XLA one schedule to
+    overlap the VAE decode tail with the encoder head.
+
+    Returns (positions [K,3], scores [K], images [N,H,W,3] uint8); the
+    images come back as device arrays the caller may materialize lazily
+    (e.g. for the VLM verification stage) or drop unsynced.
+    """
+    core = imagination.imagine_core
+
+    @functools.partial(jax.jit, static_argnames=("top_k", "use_region",
+                                                 "use_floor"))
+    def text_query_step(state: VoxelStoreState, vit_params, mmdit_params,
+                        vae_params, text_params, t5_params,
+                        ids, ids_uncond, t5_ids, t5_ids_uncond, key,
+                        top_k: int = 100,
+                        use_region: bool = False,
+                        curr_grid: Optional[jnp.ndarray] = None,
+                        region_radius: float = 0.0,
+                        use_floor: bool = False,
+                        floor_range: Optional[jnp.ndarray] = None):
+        imgs = core(mmdit_params, vae_params, text_params, t5_params,
+                    ids, ids_uncond, t5_ids, t5_ids_uncond, key)
+        q = (cfg.query.query_height, cfg.query.query_width)
+        x = vit.preprocess(imgs, out_hw=q).astype(compute_dtype)
+        tokens = vit.forward_features(
+            vit_params, x, vit_cfg)["x_norm_patchtokens"]
+        pooled = gaussian_center_pool(tokens)
+        positions, scores = localize(
+            state, pooled, top_k=top_k, use_region=use_region,
+            curr_grid=curr_grid, region_radius=region_radius,
+            use_floor=use_floor, floor_range=floor_range)
+        return positions, scores, imgs
+
+    return text_query_step
+
+
 def make_query_batch_step(cfg: Config, vit_cfg: vit.ViTConfig,
                           compute_dtype=jnp.float32):
     """Returns jitted (state, params, images_uint8 [Q, N, H, W, 3],

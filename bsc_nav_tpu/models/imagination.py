@@ -96,7 +96,6 @@ class DiffusionImagination:
         # params flow through as jit ARGUMENTS -- closing over them would
         # bake ~5 GB of weights into the executable as constants (slow
         # lowering, doubled HBM while compiling)
-        @jax.jit
         def run(mmdit_params, vae_params, text_params, t5_params,
                 ids, ids_uncond, t5_ids, t5_ids_uncond, key):
             ctx, pool = full_context(text_params, t5_params, ids, t5_ids)
@@ -112,8 +111,29 @@ class DiffusionImagination:
             img = V.decode(vae_params, lat, self.vae_cfg)
             return V.to_uint8(img)
 
-        self._run = run
+        # unjitted core, composable into larger fused programs
+        # (memory.pipeline.make_text_query_step traces it together with
+        # the DINOv2 encode + store localize: no decoded-image round
+        # trip through the host between imagination and query)
+        self.imagine_core = run
+        self._run = jax.jit(run)
         self._key = jax.random.PRNGKey(self.seed)
+
+    def prep_inputs(self, text: str):
+        """Host-side tokenization for one prompt: the argument tuple
+        `imagine_core` / the fused text-query step consume after the
+        param pytrees (ids, ids_uncond, t5_ids, t5_ids_uncond)."""
+        ids = T.tokenize([text], self.tokenizer)
+        ids_u = T.tokenize([""], self.tokenizer)
+        return (jnp.asarray(ids), jnp.asarray(ids_u),
+                self._t5_ids(text), self._t5_ids(""))
+
+    def next_key(self):
+        """Split and return a fresh sampling key (same stream as
+        __call__ uses, so fused-path and two-stage calls interleave
+        deterministically)."""
+        self._key, sub = jax.random.split(self._key)
+        return sub
 
     def _t5_ids(self, text: str):
         if self.t5_params is None:
@@ -126,10 +146,6 @@ class DiffusionImagination:
         return jnp.asarray([ids], jnp.int32)
 
     def __call__(self, text: str) -> np.ndarray:
-        ids = T.tokenize([text], self.tokenizer)
-        ids_u = T.tokenize([""], self.tokenizer)
-        self._key, sub = jax.random.split(self._key)
         return np.asarray(self._run(
             self.mmdit_params, self.vae_params, self.clip_params["text"],
-            self.t5_params, jnp.asarray(ids), jnp.asarray(ids_u),
-            self._t5_ids(text), self._t5_ids(""), sub))
+            self.t5_params, *self.prep_inputs(text), self.next_key()))

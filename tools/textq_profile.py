@@ -94,6 +94,7 @@ def main():
         clip_params=C.init_params(ccfg, jax.random.PRNGKey(4),
                                   dtype=jnp.bfloat16),
         clip_cfg=ccfg,
+        tokenizer=tokzr,
         num_images=3,
         num_steps=28 if full else 4,
     )
@@ -181,6 +182,23 @@ def main():
     log(f"e2e: {res['e2e_ms']:.0f} ms")
     res["accounted_ms"] = (res["clip_sample_ms"] + res["vae_decode_ms"]
                            + res["encode_localize_ms"])
+
+    # ---- fused single-program path (make_text_query_step) ------------
+    from bsc_nav_tpu.memory.pipeline import make_text_query_step
+    tq = make_text_query_step(cfg, vit_cfg, imagination,
+                              compute_dtype=jnp.bfloat16)
+    inputs = imagination.prep_inputs("a wooden chair near a window")
+
+    def run_fused():
+        pos, scores, _imgs = tq(
+            state, vparams, imagination.mmdit_params,
+            imagination.vae_params, imagination.clip_params["text"],
+            imagination.t5_params, *inputs, imagination.next_key(),
+            top_k=100)
+        _ = float(scores[0])
+
+    res["fused_e2e_ms"] = timeit(run_fused)
+    log(f"fused e2e (one program): {res['fused_e2e_ms']:.0f} ms")
     print(json.dumps({k: round(v, 1) for k, v in res.items()}))
 
 
