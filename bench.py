@@ -341,7 +341,7 @@ def main():
     text_e2e_ms = None
     try:
         text_e2e_ms = _text_query_phase(cfg, full, state, params,
-                                        query_step, rng)
+                                        vit_cfg, rng)
     except Exception as e:                      # noqa: BLE001
         # the driver contract requires the JSON line no matter what;
         # report the phase failure on stderr and carry null
@@ -370,7 +370,7 @@ def main():
     print(json.dumps(out))
 
 
-def _text_query_phase(cfg, full, state, params, query_step, rng):
+def _text_query_phase(cfg, full, state, params, vit_cfg, rng):
     import time
     import numpy as np
     import jax
@@ -413,9 +413,21 @@ def _text_query_phase(cfg, full, state, params, query_step, rng):
         )
         log(f"imagination init: {time.perf_counter()-t0:.1f}s")
 
+        # fused single-program path (the agent's serving path for str
+        # prompts, agents/spatial_memory._voxel_localized_text_fused):
+        # imagination + DINOv2 encode + localize in ONE jit -- no decoded
+        # -image host round trip (two-stage measured 3643 vs 3362 ms
+        # fused on TPU, tools/textq_profile.py r3)
+        from bsc_nav_tpu.memory.pipeline import make_text_query_step
+        tq_step = make_text_query_step(cfg, vit_cfg, imagination,
+                                       compute_dtype=jnp.bfloat16)
+
         def text_query(text):
-            imgs = imagination(text)            # 3 x 512^2 uint8
-            p, s = query_step(state, params, jnp.asarray(imgs), top_k=100)
+            p, s, _imgs = tq_step(
+                state, params, imagination.mmdit_params,
+                imagination.vae_params, imagination.clip_params["text"],
+                imagination.t5_params, *imagination.prep_inputs(text),
+                imagination.next_key(), top_k=100)
             return float(s[0])
         t0 = time.perf_counter()
         _ = text_query("a red leather sofa in a living room")
@@ -426,7 +438,7 @@ def _text_query_phase(cfg, full, state, params, query_step, rng):
             _ = text_query(f"a wooden chair near a window {i}")
             tq.append(time.perf_counter() - t0)
         text_e2e_ms = float(np.median(tq) * 1000)
-        log(f"text query e2e: {text_e2e_ms:.0f} ms "
+        log(f"text query e2e (fused one-program): {text_e2e_ms:.0f} ms "
             f"(SD3.5-class 3x512^2 28 steps + encode + localize)")
     return text_e2e_ms
 
