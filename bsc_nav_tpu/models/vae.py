@@ -101,14 +101,28 @@ def _conv(x, p, stride=1):
 
 
 def _group_norm(x, p, groups):
+    """Group norm that never reshapes the big activation: viewing
+    [B,H,W,C] as [...,g,C//g] puts a 16-wide minor dim on a tensor TPU
+    tiles to 128 lanes (8x padded HBM traffic at 512^2 resolution).
+    Instead reduce spatially to lane-aligned [B,C] moments, fold
+    channels into groups on that TINY array, and apply the folded
+    per-channel affine in the native layout (one fused pass)."""
     B, H, W, C = x.shape
     g = min(groups, C)
-    xf = x.astype(jnp.float32).reshape(B, H, W, g, C // g)
-    mu = xf.mean(axis=(1, 2, 4), keepdims=True)
-    var = xf.var(axis=(1, 2, 4), keepdims=True)
-    xf = (xf - mu) * jax.lax.rsqrt(var + 1e-6)
-    xf = xf.reshape(B, H, W, C)
-    return (xf * p["scale"] + p["bias"]).astype(x.dtype)
+    cg = C // g
+    xf = x.astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=(1, 2))                       # [B, C]
+    s2 = jnp.sum(xf * xf, axis=(1, 2))                  # [B, C]
+    n = H * W * cg
+    mu = s1.reshape(B, g, cg).sum(-1) / n               # [B, g]
+    var = s2.reshape(B, g, cg).sum(-1) / n - mu * mu
+    rstd = jax.lax.rsqrt(var + 1e-6)
+    scale = (jnp.repeat(rstd, cg, axis=-1)
+             * p["scale"].astype(jnp.float32)[None])    # [B, C]
+    bias = (p["bias"].astype(jnp.float32)[None]
+            - jnp.repeat(mu, cg, axis=-1) * scale)
+    return (xf * scale[:, None, None, :]
+            + bias[:, None, None, :]).astype(x.dtype)
 
 
 def _resnet(x, p, groups):
