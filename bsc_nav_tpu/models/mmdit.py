@@ -174,7 +174,8 @@ def _stream_qkv(x, s, cfg: MMDiTConfig):
     return q, k, v
 
 
-def _joint_block(x, ctx, c, blk, cfg: MMDiTConfig, tp_mesh=None):
+def _joint_block(x, ctx, c, blk, cfg: MMDiTConfig, tp_mesh=None,
+                 mods=None):
     """One dual-stream block: both streams contribute tokens to one
     attention, then mix back into their own residuals.
 
@@ -182,11 +183,16 @@ def _joint_block(x, ctx, c, blk, cfg: MMDiTConfig, tp_mesh=None):
     parallel/mesh.shard_mmdit_params -- attention then runs
     tensor-parallel per shard on local heads (the permuted qkv column
     layout makes the plain reshape path invalid, so the TP branch is
-    mandatory for sharded params)."""
-    mods = {}
-    for name in ("x", "ctx"):
-        m = _linear(jax.nn.silu(c), blk[name]["mod"])
-        mods[name] = jnp.split(m, m.shape[-1] // cfg.dim, axis=-1)
+    mandatory for sharded params).
+
+    mods: precomputed {"x": [chunks], "ctx": [chunks]} adaLN
+    modulation (see fuse_mods); when None it is computed here from the
+    per-block "mod" linears."""
+    if mods is None:
+        mods = {}
+        for name in ("x", "ctx"):
+            m = _linear(jax.nn.silu(c), blk[name]["mod"])
+            mods[name] = jnp.split(m, m.shape[-1] // cfg.dim, axis=-1)
     # context_pre_only (the last SD3 block): the ctx stream only feeds
     # attention k/v through a 2-chunk shift/scale norm (diffusers
     # AdaLayerNormContinuous) -- no gate, no ctx FFN, ctx not updated
@@ -290,12 +296,65 @@ def unpatchify_latent(tokens: jnp.ndarray, p: int, h: int, w: int,
     return x.reshape(B, h, w, c)
 
 
+def fuse_mods(params, cfg: MMDiTConfig):
+    """Stack every adaLN modulation linear (per-block x/ctx "mod" +
+    "final_mod") into ONE [D, total] matrix so forward computes all
+    modulations in one streaming matmul per step.
+
+    MEASURED NEGATIVE RESULT (kept in tree): the mod weights are ~30%
+    of SD3.5-medium (~0.76B params, 1.5 GB bf16) and time at 5.8-6.9 ms
+    isolated as 48 separate [B,D]x[D,~10kD] matmuls
+    (tools/mmdit_profile.py), but the in-context A/B on the real TPU is
+    a dead tie: full forward B=6 118.44 ms per-block vs 118.45 ms
+    fused.  XLA already streams/overlaps the per-block mod reads off
+    the critical path -- another instance of the "trace-time
+    attribution lies about overlapped work" lesson (CLAUDE.md).
+    Numerically each output column sees the same D-length reduction,
+    so fused == per-block up to matmul tiling (parity-tested in
+    tests/test_mmdit.py); the imagination pipeline stays on the
+    per-block path.
+
+    Returns (params', layout): params' has blocks without "mod", no
+    "final_mod", and a top-level "mods" linear; layout is the static
+    tuple of (x_chunks, ctx_chunks) per block for forward's slicing
+    (derived from the actual param shapes because the last converted
+    block's ctx stream is 2-chunk AdaLayerNormContinuous while
+    init_params always emits 6).  Pass layout to forward(mod_layout=).
+    Transiently allocates one extra copy of the mod weights; fuse
+    before loading other large state.  Not composable with
+    shard_mmdit_params (TP keeps the per-block path)."""
+    d = cfg.dim
+    ws, bs, layout = [], [], []
+    new_blocks = []
+    for blk in params["blocks"]:
+        nb = {}
+        chunks = []
+        for name in ("x", "ctx"):
+            mod = blk[name]["mod"]
+            nb[name] = {k: v for k, v in blk[name].items() if k != "mod"}
+            ws.append(mod["w"])
+            bs.append(mod["b"])
+            chunks.append(mod["w"].shape[-1] // d)
+        layout.append(tuple(chunks))
+        new_blocks.append(nb)
+    ws.append(params["final_mod"]["w"])
+    bs.append(params["final_mod"]["b"])
+    out = {k: v for k, v in params.items()
+           if k not in ("blocks", "final_mod")}
+    out["blocks"] = new_blocks
+    out["mods"] = {"w": jnp.concatenate(ws, axis=-1),
+                   "b": jnp.concatenate(bs, axis=-1)}
+    return out, tuple(layout)
+
+
 def forward(params, latents: jnp.ndarray, t: jnp.ndarray,
             context: jnp.ndarray, pooled: jnp.ndarray,
-            cfg: MMDiTConfig, tp_mesh=None) -> jnp.ndarray:
+            cfg: MMDiTConfig, tp_mesh=None, mod_layout=None) -> jnp.ndarray:
     """Velocity prediction.  latents [B, H, W, C]; t [B] in [0, 1];
     context [B, S, context_dim]; pooled [B, pooled_dim].
-    tp_mesh: see _joint_block (params sharded via shard_mmdit_params)."""
+    tp_mesh: see _joint_block (params sharded via shard_mmdit_params).
+    mod_layout: static layout from fuse_mods when params carry the
+    fused "mods" linear (one modulation matmul for the whole step)."""
     B, H, W, C = latents.shape
     p = cfg.patch_size
 
@@ -309,11 +368,27 @@ def forward(params, latents: jnp.ndarray, t: jnp.ndarray,
         pooled, params["pooled_embed1"])), params["pooled_embed2"])
     c = temb + pemb
 
-    for blk in params["blocks"]:
-        x, ctx = _joint_block(x, ctx, c, blk, cfg, tp_mesh=tp_mesh)
-
-    shift, scale = jnp.split(
-        _linear(jax.nn.silu(c), params["final_mod"]), 2, axis=-1)
+    d = cfg.dim
+    if mod_layout is not None:
+        allm = _linear(jax.nn.silu(c), params["mods"])   # [B, total*d]
+        off = 0
+        for blk, (nx, nc) in zip(params["blocks"], mod_layout):
+            mods = {
+                "x": [allm[:, (off + i) * d:(off + i + 1) * d]
+                      for i in range(nx)],
+                "ctx": [allm[:, (off + nx + i) * d:(off + nx + i + 1) * d]
+                        for i in range(nc)],
+            }
+            off += nx + nc
+            x, ctx = _joint_block(x, ctx, c, blk, cfg, tp_mesh=tp_mesh,
+                                  mods=mods)
+        shift = allm[:, off * d:(off + 1) * d]
+        scale = allm[:, (off + 1) * d:(off + 2) * d]
+    else:
+        for blk in params["blocks"]:
+            x, ctx = _joint_block(x, ctx, c, blk, cfg, tp_mesh=tp_mesh)
+        shift, scale = jnp.split(
+            _linear(jax.nn.silu(c), params["final_mod"]), 2, axis=-1)
     x = _modulate(_pre_norm(x, cfg.ln_eps), shift, scale)
     out = _linear(x, params["final_out"])
     return unpatchify_latent(out, p, H, W, C)
@@ -332,9 +407,10 @@ def shifted_sigmas(num_steps: int, shift: float = 3.0) -> jnp.ndarray:
 def sample(params, key, context, pooled, cfg: MMDiTConfig,
            num_steps: int = 28, guidance_scale: float = 7.0,
            context_uncond=None, pooled_uncond=None,
-           shift: float = 3.0) -> jnp.ndarray:
+           shift: float = 3.0, mod_layout=None) -> jnp.ndarray:
     """Euler rectified-flow sampling with classifier-free guidance
     (matching the reference's 28 steps / scale 7.0, memory_2.py:267-269).
+    mod_layout: static fuse_mods layout when params are mod-fused.
     Returns latents [B, H, W, C]."""
     B = context.shape[0]
     H = W = cfg.input_size
@@ -355,14 +431,15 @@ def sample(params, key, context, pooled, cfg: MMDiTConfig,
         def step(i, x):
             t = jnp.full((2 * B,), sigmas[i])
             v2 = forward(params, jnp.concatenate([x, x], axis=0), t,
-                         ctx2, pool2, cfg)
+                         ctx2, pool2, cfg, mod_layout=mod_layout)
             v, vu = v2[:B], v2[B:]
             v = vu + guidance_scale * (v - vu)
             return x + (sigmas[i + 1] - sigmas[i]) * v
     else:
         def step(i, x):
             t = jnp.full((B,), sigmas[i])
-            v = forward(params, x, t, context, pooled, cfg)
+            v = forward(params, x, t, context, pooled, cfg,
+                        mod_layout=mod_layout)
             return x + (sigmas[i + 1] - sigmas[i]) * v
 
     return jax.lax.fori_loop(0, num_steps, step, x)

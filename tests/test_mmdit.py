@@ -70,6 +70,62 @@ def test_sigma_schedule():
     assert s[-1] > 0
 
 
+def _randomize_mods(params, key):
+    """init_params zero-inits adaLN weights (adaLN-Zero); fill them with
+    noise so a fused-vs-unfused comparison is non-trivial."""
+    ks = iter(jax.random.split(key, 4 * len(params["blocks"]) + 2))
+
+    def noisy(lin):
+        return {"w": jax.random.normal(next(ks), lin["w"].shape,
+                                       lin["w"].dtype) * 0.2,
+                "b": jax.random.normal(next(ks), lin["b"].shape,
+                                       lin["b"].dtype) * 0.2}
+
+    for blk in params["blocks"]:
+        for name in ("x", "ctx"):
+            blk[name]["mod"] = noisy(blk[name]["mod"])
+    params["final_mod"] = noisy(params["final_mod"])
+    return params
+
+
+@pytest.mark.parametrize("cfg", [M.MMDIT_TEST, M.MMDIT_TEST_DUAL])
+def test_fuse_mods_parity(cfg):
+    """forward with the single fused modulation matmul (fuse_mods) must
+    match the per-block path, including a converted-style 2-chunk
+    AdaLayerNormContinuous ctx stream on the last block."""
+    params = _randomize_mods(M.init_params(cfg, jax.random.PRNGKey(0)),
+                             jax.random.PRNGKey(42))
+    d = cfg.dim
+    last = params["blocks"][-1]["ctx"]
+    last["mod"] = {"w": last["mod"]["w"][:, :2 * d],
+                   "b": last["mod"]["b"][:2 * d]}
+    B, S = 2, 6
+    lat = jax.random.normal(jax.random.PRNGKey(1),
+                            (B, cfg.input_size, cfg.input_size,
+                             cfg.in_channels))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (B, S, cfg.context_dim))
+    pooled = jax.random.normal(jax.random.PRNGKey(3), (B, cfg.pooled_dim))
+    t = jnp.array([0.5, 0.9])
+    ref = M.forward(params, lat, t, ctx, pooled, cfg)
+    fused, layout = M.fuse_mods(params, cfg)
+    assert "mod" not in fused["blocks"][0]["x"]
+    assert "final_mod" not in fused
+    assert layout[-1] == ((9 if (cfg.depth - 1) in
+                           cfg.dual_attention_layers else 6), 2)
+    got = M.forward(fused, lat, t, ctx, pooled, cfg, mod_layout=layout)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    samp = M.sample(fused, jax.random.PRNGKey(4), ctx[:1], pooled[:1],
+                    cfg, num_steps=2, guidance_scale=2.0,
+                    context_uncond=ctx[:1], pooled_uncond=pooled[:1],
+                    mod_layout=layout)
+    sref = M.sample(params, jax.random.PRNGKey(4), ctx[:1], pooled[:1],
+                    cfg, num_steps=2, guidance_scale=2.0,
+                    context_uncond=ctx[:1], pooled_uncond=pooled[:1])
+    np.testing.assert_allclose(np.asarray(samp), np.asarray(sref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_sampler_runs():
     params = M.init_params(CFG, jax.random.PRNGKey(0))
     ctx = jnp.zeros((1, 4, CFG.context_dim))

@@ -54,6 +54,15 @@ def main():
     t_full = timed("full forward (1 step, B=6)", jax.jit(full),
                    params, lat)
 
+    fused_params, layout = M.fuse_mods(params, cfg)
+
+    def full_fused(p, lat):
+        return jnp.sum(M.forward(p, lat, t, ctx, pool, cfg,
+                                 mod_layout=layout).astype(jnp.float32))
+    timed("full forward, fused adaLN mods (B=6)", jax.jit(full_fused),
+          fused_params, lat)
+    del fused_params
+
     q = jax.random.normal(jax.random.PRNGKey(4), (B, h, S, hd),
                           jnp.bfloat16)
     k = jax.random.normal(jax.random.PRNGKey(5), (B, h, S, hd),
