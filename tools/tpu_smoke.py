@@ -91,6 +91,19 @@ def main():
         p, l, jnp.full((3,), 0.5), c, po, mcfg).astype(jnp.float32)))
     rows.append(timed("sd3.5-medium mmdit b3@512px step", mfwd, mparams,
                       lat, ctx, pooled, iters=3))
+    del mparams
+
+    # --- SD3 VAE decode (text-query imagination shape) ---------------------
+    from bsc_nav_tpu.models import vae as V
+    vcfg = V.SD3_VAE
+    vparams = V.init_params(vcfg, jax.random.PRNGKey(11), dtype=jnp.bfloat16)
+    vlat = jax.random.normal(jax.random.PRNGKey(12),
+                             (3, 64, 64, vcfg.latent_channels), jnp.bfloat16)
+    vdec = jax.jit(lambda p, z: jnp.sum(
+        V.decode(p, z, vcfg).astype(jnp.float32)))
+    rows.append(timed("sd3-vae decode 3x512^2", vdec, vparams, vlat,
+                      iters=3))
+    del vparams
 
     # --- YOLOv8x-World @640 ----------------------------------------------
     from bsc_nav_tpu.models import yolo_world as Y

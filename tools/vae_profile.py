@@ -55,8 +55,58 @@ def main():
         ts.append(time.perf_counter() - t0)
     ms = float(np.median(ts) * 1000)
     log(f"vae decode 3x512^2: {ms:.1f} ms")
+
+    # ---- stage split (isolated sub-programs; in-context A/B is the
+    # truth for any candidate change, this is for triage only) --------
+    def timeit(fn, *args, n=5):
+        _ = float(fn(*args))
+        tt = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            _ = float(fn(*args))
+            tt.append(time.perf_counter() - t0)
+        return float(np.median(tt) * 1000)
+
+    # cumulative PREFIXES of the real program (isolated per-stage
+    # programs mis-compile and each sync pays ~30 ms tunnel RTT, so
+    # successive differences of prefixes are the honest split)
+    def prefix(n_stages, with_mid=True, with_out=False):
+        def f(p, z):
+            x = V._conv(z / cfg.scaling_factor + cfg.shift_factor,
+                        p["conv_in"])
+            if with_mid:
+                x = V._resnet(x, p["mid_res1"], cfg.groups)
+                x = V._mid_attention(x, p["mid_attn"], cfg.groups)
+                x = V._resnet(x, p["mid_res2"], cfg.groups)
+            for stage in p["stages"][:n_stages]:
+                for r in stage["res"]:
+                    x = V._resnet(x, r, cfg.groups)
+                if "upconv" in stage:
+                    x = V._conv(V._upsample(x), stage["upconv"])
+            if with_out:
+                x = jax.nn.silu(V._group_norm(x, p["gn_out"], cfg.groups))
+                x = V._conv(x, p["conv_out"])
+            return jnp.sum(x.astype(jnp.float32))
+        return jax.jit(f)
+
+    cum = [("conv_in", timeit(prefix(0, with_mid=False), params, lat)),
+           ("mid_64", timeit(prefix(0), params, lat))]
+    for si in range(len(params["stages"])):
+        cum.append((f"stage{si}", timeit(prefix(si + 1), params, lat)))
+    cum.append(("gn_out+conv_out",
+                timeit(prefix(len(params["stages"]), with_out=True),
+                       params, lat)))
+    split = {}
+    prev = 0.0
+    for name, t in cum:
+        split[name] = t - prev
+        log(f"  {name:<18} cum {t:8.1f} ms   delta {t - prev:8.1f} ms")
+        prev = t
+    log(f"  (deltas are net of the constant per-program sync RTT)")
     import json
-    print(json.dumps({"vae_decode_b3_512_ms": round(ms, 1)}))
+    print(json.dumps({"vae_decode_b3_512_ms": round(ms, 1),
+                      "stages_ms": {k: round(v, 1)
+                                    for k, v in split.items()}}))
 
 
 if __name__ == "__main__":
