@@ -143,7 +143,11 @@ def main():
         x = jax.image.resize(x, (x.shape[0], s, s, 3), "bilinear")
         # k=64 candidates into NMS: sub-threshold candidates never
         # suppress (host semantics filter at conf first), and the
-        # suppression scan is O(K) sequential steps -- keep K small
+        # suppression scan is O(K) sequential steps -- keep K small.
+        # Valid HERE because stress_rate <= 6 bounds the above-threshold
+        # pool; the product path (YoloWorldDetector.detect_batch_instances)
+        # defaults to decode_k=256 / keep_k=64 to match the host chain
+        # on crowded real scenes
         boxes, conf, cls_idx = Y.decode_topk_device(
             Y.forward(p, x, t, ycfg), ycfg, k=64)
         if stress_rate:

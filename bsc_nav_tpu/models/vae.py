@@ -106,21 +106,35 @@ def _group_norm(x, p, groups):
     tiles to 128 lanes (8x padded HBM traffic at 512^2 resolution).
     Instead reduce spatially to lane-aligned [B,C] moments, fold
     channels into groups on that TINY array, and apply the folded
-    per-channel affine in the native layout (one fused pass)."""
+    per-channel affine in the native layout.
+
+    Variance uses a CENTERED second reduction pass.  Measured
+    alternatives (decode b3@512^2, tools/vae_profile.py): the one-pass
+    E[x^2]-mu^2 form is fastest (173 ms) but catastrophically cancels
+    in f32 for low-variance large-mean groups (mean 100 / std 0.01 ->
+    negative var -> NaN via rsqrt; the flat-region-after-biased-conv
+    regime) -- inherent, since squares accumulate at mean^2 magnitude;
+    a strided-subsample mean shift fixes the numerics in one pass but
+    breaks XLA's cast/reduce fusion (233 ms); this centered two-pass
+    is exact and measures 197 ms vs 191 ms for the original padded
+    rank-5 view -- a tie within tunnel variance, kept for the cleaner
+    numerics and native tiling."""
     B, H, W, C = x.shape
     g = min(groups, C)
     cg = C // g
     xf = x.astype(jnp.float32)
-    s1 = jnp.sum(xf, axis=(1, 2))                       # [B, C]
-    s2 = jnp.sum(xf * xf, axis=(1, 2))                  # [B, C]
     n = H * W * cg
+    s1 = jnp.sum(xf, axis=(1, 2))                       # [B, C]
     mu = s1.reshape(B, g, cg).sum(-1) / n               # [B, g]
-    var = s2.reshape(B, g, cg).sum(-1) / n - mu * mu
+    mu_c = jnp.repeat(mu, cg, axis=-1)                  # [B, C]
+    d = xf - mu_c[:, None, None, :]
+    s2 = jnp.sum(d * d, axis=(1, 2))                    # [B, C]
+    var = s2.reshape(B, g, cg).sum(-1) / n              # [B, g] >= 0
     rstd = jax.lax.rsqrt(var + 1e-6)
     scale = (jnp.repeat(rstd, cg, axis=-1)
              * p["scale"].astype(jnp.float32)[None])    # [B, C]
     bias = (p["bias"].astype(jnp.float32)[None]
-            - jnp.repeat(mu, cg, axis=-1) * scale)
+            - mu_c * scale)
     return (xf * scale[:, None, None, :]
             + bias[:, None, None, :]).astype(x.dtype)
 

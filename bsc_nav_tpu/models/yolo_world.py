@@ -487,7 +487,8 @@ class YoloWorldDetector:
 
     def __init__(self, params, cfg: YoloWorldConfig,
                  classes: Sequence[str], text_embeddings: np.ndarray,
-                 confidence: float = 0.55, iou_thr: float = 0.5):
+                 confidence: float = 0.55, iou_thr: float = 0.5,
+                 decode_k: int = 256, keep_k: int = 64):
         self.params = params
         self.cfg = cfg
         self.classes = list(classes)
@@ -497,6 +498,13 @@ class YoloWorldDetector:
                 1e-12))
         self.confidence = confidence
         self.iou_thr = iou_thr
+        # capacity bounds for the device decode/NMS path (static shapes
+        # on TPU): decode_k matches the host detect_batch pool; keep_k
+        # bounds NMS survivors per frame -- at the reference's conf 0.55
+        # real scenes yield ~3-10 det/frame, so 64 is a wide margin, but
+        # it IS a bound the host chain (unbounded keepers) does not have
+        self.decode_k = decode_k
+        self.keep_k = keep_k
         # forward + device-side decode/top-k fused into ONE dispatch;
         # only [B,k,*] candidates cross the host boundary
         self._fwd_topk = jax.jit(
@@ -513,7 +521,7 @@ class YoloWorldDetector:
     def detect_batch_instances(self, rgbs, depths, cam_tfs, mem_cfg):
         """Whole long-term-memory feed on device: forward -> decode ->
         class-wise NMS -> depth backprojection to grid instances, ONE
-        dispatch + one small [B, 32, *] transfer (host python in the
+        dispatch + one small [B, keep_k, *] transfer (host python in the
         build loop contends with the tunnel client for the single CPU
         core -- CLAUDE.md; reference path memory_2.py:905-945).
 
@@ -528,6 +536,7 @@ class YoloWorldDetector:
             self._inst_cfg = mem_cfg
             det_cfg, conf_thr = self.cfg, self.confidence
             iou = self.iou_thr
+            decode_k, keep_k = self.decode_k, self.keep_k
 
             @jax.jit
             def inst_fn(p, rgbs_u8, t, depths_d, cam_d):
@@ -537,10 +546,10 @@ class YoloWorldDetector:
                     x = jax.image.resize(
                         x, (x.shape[0], s, s, 3), "bilinear")
                 boxes, conf, cls_idx = decode_topk_device(
-                    forward(p, x, t, det_cfg), det_cfg, k=64)
+                    forward(p, x, t, det_cfg), det_cfg, k=decode_k)
                 boxes, conf, cls_idx, ok = nms_device(
                     boxes, conf, cls_idx, iou_thr=iou,
-                    conf_thr=conf_thr, k_out=32)
+                    conf_thr=conf_thr, k_out=keep_k)
                 return LT.instances_device(
                     boxes, conf, cls_idx, ok, depths_d, cam_d, mem_cfg,
                     s)

@@ -176,6 +176,19 @@ def test_flush_device_detector_feed():
     rng = np.random.default_rng(9)
     temb = rng.normal(size=(3, ycfg.embed_dim)).astype(np.float32)
 
+    class _HostOnly:
+        """Delegating proxy that HIDES detect_batch_instances so flush
+        takes the per-frame host-chain branch (detect_batch + host NMS
+        + instances_from_detections)."""
+
+        def __init__(self, det):
+            self._det = det
+
+        def __getattr__(self, name):
+            if name == "detect_batch_instances":
+                raise AttributeError(name)
+            return getattr(self._det, name)
+
     def run(device_feed: bool):
         env = FakeNavEnv(cfg, seed=3)
         env.reset(init_state=AgentState(np.zeros(3), Quat()),
@@ -183,8 +196,8 @@ def test_flush_device_detector_feed():
         det = Y.YoloWorldDetector(yparams, ycfg, ["bed", "sofa", "chair"],
                                   temb, confidence=1e-5)
         if not device_feed:
-            det.detect_batch_instances = None       # force host path
-            del det.detect_batch_instances          # (attr on instance)
+            det = _HostOnly(det)
+        assert hasattr(det, "detect_batch_instances") == device_feed
         mem = VoxelTokenMemory(
             cfg, env=env,
             perception=Perception.create(cfg, vit_cfg=vit_cfg,
@@ -196,8 +209,20 @@ def test_flush_device_detector_feed():
         return mem.long_memory_dict
 
     dev = run(device_feed=True)
+    host = run(device_feed=False)
     assert len(dev) > 0, "device feed produced no instances"
     for item in dev:
         assert set(item) == {"label", "loc", "confidence"}
         assert item["label"] in ("bed", "sofa", "chair")
         assert len(item["loc"]) == 3
+
+    # the device feed must reproduce the host chain's long-term memory
+    def key(it):
+        return (it["label"], tuple(int(v) for v in it["loc"]))
+
+    assert len(dev) == len(host), (len(dev), len(host))
+    for d, h in zip(sorted(dev, key=key), sorted(host, key=key)):
+        assert d["label"] == h["label"]
+        assert tuple(d["loc"]) == tuple(h["loc"]), (d, h)
+        np.testing.assert_allclose(d["confidence"], h["confidence"],
+                                   rtol=1e-4, atol=1e-5)

@@ -137,6 +137,27 @@ def test_sampler_runs():
     assert np.isfinite(np.asarray(lat)).all()
 
 
+def test_vae_group_norm_low_variance_large_mean():
+    """Regression: the one-pass E[x^2]-mu^2 variance catastrophically
+    cancelled in f32 (negative var -> NaN via rsqrt) for near-constant
+    large-mean groups -- the flat-region-after-biased-conv regime. The
+    centered two-pass form must stay finite and match a float64 oracle."""
+    rng = np.random.default_rng(0)
+    x = (100.0 + 0.01 * rng.standard_normal((1, 16, 16, 32))).astype(
+        np.float32)
+    g = 4
+    p = {"scale": jnp.full((32,), 1.5, jnp.float32),
+         "bias": jnp.full((32,), 0.25, jnp.float32)}
+    got = np.asarray(V._group_norm(jnp.asarray(x), p, g))
+    assert np.isfinite(got).all()
+    x64 = x.astype(np.float64).reshape(1, 16, 16, g, 8)
+    mu = x64.mean(axis=(1, 2, 4), keepdims=True)
+    var = x64.var(axis=(1, 2, 4), keepdims=True)
+    ref = ((x64 - mu) / np.sqrt(var + 1e-6)).reshape(1, 16, 16, 32)
+    ref = ref * 1.5 + 0.25
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+
+
 def test_vae_decoder_shapes():
     cfg = V.VAE_TEST
     params = V.init_params(cfg, jax.random.PRNGKey(0))

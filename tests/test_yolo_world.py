@@ -248,15 +248,16 @@ def test_detect_batch_instances_matches_host_chain():
 
     got = det.detect_batch_instances(rgbs, depths, cam_tfs, nav_cfg)
 
-    # host chain over the SAME k=64 candidate pool the device path
-    # decodes (at the real conf 0.55 the pools are identical; with
-    # random weights every conf ties at sigmoid(-10) so the pool edge
-    # would differ)
+    # host chain over the SAME candidate pool size the device path
+    # decodes (det.decode_k, which also matches detect_batch's k=256;
+    # with random weights every conf ties at sigmoid(-10) so a pool of
+    # a DIFFERENT size would pick different edge candidates)
     x = jnp.asarray(rgbs, jnp.float32) / 255.0
     x = jax.image.resize(x, (B, cfg.img_size, cfg.img_size, 3),
                          "bilinear")
     boxes, conf, cls_idx = (np.asarray(a) for a in Y.decode_topk_device(
-        Y.forward(params, x, jnp.asarray(det.text_emb), cfg), cfg, k=64))
+        Y.forward(params, x, jnp.asarray(det.text_emb), cfg), cfg,
+        k=det.decode_k))
     want = []
     for b in range(B):
         sel = conf[b] >= det.confidence

@@ -174,6 +174,10 @@ def main():
     snaps = sorted(glob.glob(os.path.join(
         os.path.dirname(here), "docs", "tpu_smoke_r*.json")))
     if snaps:
+        # resolve relative to this file so `python -m tools.tpu_smoke`
+        # and import-based invocations find it too
+        if here not in sys.path:
+            sys.path.insert(0, here)
         from smoke_compare import compare
         with open(snaps[-1]) as f:
             base = json.load(f)
