@@ -290,6 +290,45 @@ def test_device_nms_matches_host_nms():
         assert got == want
 
 
+def test_device_nms_crowded_scene_capacity():
+    """Crowded scene (review finding): >k_out disjoint above-threshold
+    boxes must fill exactly k_out survivors and they must be the
+    highest-confidence host-NMS keepers -- the capacity bound truncates
+    by confidence, never by position or class."""
+    import jax.numpy as jnp
+    from bsc_nav_tpu.models import yolo_world as Y
+
+    rng = np.random.default_rng(11)
+    K, k_out = 256, 64
+    # a 12x10 grid of disjoint 40px boxes: every one survives greedy NMS
+    n_grid = 120
+    gx, gy = np.meshgrid(np.arange(12), np.arange(10))
+    x1 = (gx.ravel() * 52).astype(np.float32)
+    y1 = (gy.ravel() * 52).astype(np.float32)
+    boxes = np.zeros((1, K, 4), np.float32)
+    conf = np.zeros((1, K), np.float32)
+    cls_idx = rng.integers(0, 5, size=(1, K)).astype(np.int32)
+    conf[0, :n_grid] = np.sort(rng.uniform(0.6, 1.0, n_grid))[::-1]
+    boxes[0, :n_grid, 0] = x1
+    boxes[0, :n_grid, 1] = y1
+    boxes[0, :n_grid, 2] = x1 + 40
+    boxes[0, :n_grid, 3] = y1 + 40
+    # the tail: sub-threshold duplicates that must never suppress
+    boxes[0, n_grid:] = boxes[0, :K - n_grid]
+    conf[0, n_grid:] = 0.1
+
+    dbx, dcf, dci, dok = (np.asarray(a) for a in Y.nms_device(
+        jnp.asarray(boxes), jnp.asarray(conf), jnp.asarray(cls_idx),
+        iou_thr=0.5, conf_thr=0.55, k_out=k_out))
+    assert dok[0].sum() == k_out, "capacity must fill with survivors"
+    # survivors are exactly the k_out highest-confidence grid boxes
+    np.testing.assert_allclose(np.sort(dcf[0])[::-1],
+                               conf[0, :k_out])
+    kept = {tuple(b) for b in dbx[0][dok[0]].round(1).tolist()}
+    want = {tuple(b) for b in boxes[0, :k_out].round(1).tolist()}
+    assert kept == want
+
+
 def test_device_instances_match_host_path():
     """Device NMS + device backprojection == the host NMS +
     instances_from_detections chain (the build loop's long-term memory
