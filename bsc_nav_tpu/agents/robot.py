@@ -119,6 +119,7 @@ class ObjectNavRobot:
         best = label_data[labels[idx]]
         locs = np.asarray(best["locs"], float)
         confs = np.asarray(best["confidences"], float)
+        self._save_query_artifact(f"best_locs_{text_prompt}.npy", locs)
 
         agent_loc = self._loc2grid(
             self.benchmark_env.sim.agents[0].get_state().position)
@@ -201,7 +202,28 @@ class ObjectNavRobot:
             min_samples=self.memory.cfg.query.cluster_min_samples)
         if len(centers) == 0:
             centers = np.asarray(topk[:1], float)
+        # per-query debug artifacts (objnav_benchmark.py:649-659; text
+        # prompts truncated to 64 chars like the reference)
+        if isinstance(prompts, str):
+            tag = prompts[:64]
+            self._save_query_artifact(f"best_pos_topK_{tag}.npy",
+                                      np.asarray(topk))
+            self._save_query_artifact(f"best_pos_centers_{tag}.npy",
+                                      np.asarray(centers))
         return np.array([centers])
+
+    def _save_query_artifact(self, name: str, arr: np.ndarray) -> None:
+        """Best-effort npy dump beside the memory bundle (the reference
+        writes retrieval artifacts into memory_save_path,
+        objnav_benchmark.py:560,653-659)."""
+        path = getattr(self.memory, "memory_save_path", None)
+        if not path:
+            return
+        try:
+            os.makedirs(path, exist_ok=True)
+            np.save(os.path.join(path, name.replace("/", "_")), arr)
+        except OSError:
+            pass
 
     # ------------------------------------------------------------------
     # locomotion + verification

@@ -4,6 +4,8 @@ navigation, 360-scan verification with a mock VLM -- the complete
 reference control flow (objnav_benchmark.py:1255-1321) offline.
 """
 
+import os
+
 import numpy as np
 import pytest
 import jax
@@ -83,7 +85,7 @@ def mock_llm():
 
 
 @pytest.fixture(scope="module")
-def world():
+def world(tmp_path_factory):
     cfg = make_cfg()
     scene = BoxScene.default()
     episodes = episodes_for_scene(scene, start=(0.0, 0.0, 0.0), seed=4)
@@ -100,7 +102,8 @@ def world():
 
     memory = VoxelTokenMemory(
         cfg, env=bench.nav_env, perception=perception, detector=detector,
-        imagination=imagination)
+        imagination=imagination,
+        memory_path=str(tmp_path_factory.mktemp("memory")))
 
     # build the scene memory by random-walk exploration (the reference
     # pre-build flow, create_memory_for_dataset.py:112)
@@ -137,6 +140,10 @@ def test_objnav_episode_long_memory_path(world):
     assert metrics["spl"] > 0.1
     # long-term memory resolved it before any working-memory query
     assert robot.nav_log["long_memory_query"] >= 1
+    # per-query debug artifact beside the memory bundle
+    # (objnav_benchmark.py:560)
+    assert os.path.exists(os.path.join(memory.memory_save_path,
+                                       "best_locs_a bed.npy"))
 
 
 def test_objnav_episode_working_memory_path(world):
