@@ -21,12 +21,15 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from bsc_nav_tpu import geometry as G
 from bsc_nav_tpu.config import Config, MemoryConfig, QueryConfig, SensorConfig
+from bsc_nav_tpu.memory import longterm as LT
 from bsc_nav_tpu.memory.ingest import ingest_frames
 from bsc_nav_tpu.memory.pipeline import encode_patch_grid
 from bsc_nav_tpu.memory.query import gaussian_center_pool, localize
 from bsc_nav_tpu.memory.store import init_store
 from bsc_nav_tpu.models import vit
+from bsc_nav_tpu.models import yolo_world as Y
 from bsc_nav_tpu.parallel import mesh as M
 
 
@@ -113,12 +116,39 @@ def dryrun_multichip(n_devices: int, devices=None, dp=None, mp=None) -> None:
     depth = jax.device_put(depth, fsh)
     poses = jax.device_put(poses, fsh)
 
+    # detector leg (dp-sharded over the same frame batch): tiny YOLO-World
+    # forward -> device decode -> device NMS -> instance backprojection,
+    # the full-build loop's second stream (bench.py detect_dispatch,
+    # reference memory_2.py:905-945). Params replicated (small model).
+    ycfg = Y.YOLO_TEST
+    yparams = Y.init_params(ycfg, jax.random.PRNGKey(3),
+                            text_dim=ycfg.embed_dim)
+    temb = rng.normal(size=(4, ycfg.embed_dim)).astype(np.float32)
+    temb = jnp.asarray(temb / np.linalg.norm(temb, axis=-1, keepdims=True))
+    base_tf = jnp.asarray(G.base_axes_transform(), jnp.float32)
+    base2cam = jnp.asarray(
+        G.base_to_cam_transform(cfg.sensor.sensor_height), jnp.float32)
+
     @jax.jit
-    def full_step(state, params, rgb, depth, poses, key, qimg):
+    def full_step(state, params, yparams, rgb, depth, poses, key, qimg):
         patch = encode_patch_grid(params, rgb, vit_cfg, cfg,
                                   tp_mesh=tp_mesh)
         state, stats = ingest_frames(
             state, rgb, depth, poses, patch, key, cfg)
+        # detector stream into long-term instances (dp over frames)
+        x = rgb.astype(jnp.float32) / 255.0
+        x = jax.image.resize(
+            x, (x.shape[0], ycfg.img_size, ycfg.img_size, 3), "bilinear")
+        boxes, conf, cls_idx = Y.decode_topk_device(
+            Y.forward(yparams, x, temb, ycfg), ycfg, k=8)
+        boxes, conf, cls_idx, ok = Y.nms_device(
+            boxes, conf, cls_idx, iou_thr=0.5, conf_thr=0.0, k_out=4)
+        cam_tfs = jax.vmap(lambda pose: (
+            base_tf @ G.pose_vec_to_tf(pose)
+            @ jnp.linalg.inv(base_tf) @ base_tf @ base2cam
+        ))(poses)
+        inst = LT.instances_device(boxes, conf, cls_idx, ok, depth,
+                                   cam_tfs, cfg, ycfg.img_size)
         # query against the just-built store (sharded similarity + top-k)
         tokens = vit.forward_features(
             params, vit.preprocess(qimg, out_hw=(28, 28)), vit_cfg,
@@ -126,14 +156,15 @@ def dryrun_multichip(n_devices: int, devices=None, dp=None, mp=None) -> None:
         )["x_norm_patchtokens"]
         pooled = gaussian_center_pool(tokens)
         positions, scores = localize(state, pooled, top_k=8)
-        return state, stats, positions, scores
+        return state, stats, positions, scores, inst
 
     qimg = jnp.asarray(
         rng.integers(0, 255, size=(3, H, W, 3), dtype=np.uint8))
 
     with mesh:
-        state, stats, positions, scores = full_step(
-            state, params, rgb, depth, poses, jax.random.PRNGKey(1), qimg)
+        state, stats, positions, scores, inst = full_step(
+            state, params, yparams, rgb, depth, poses,
+            jax.random.PRNGKey(1), qimg)
 
     # force execution + sanity
     n = int(stats["num_voxels"])
@@ -141,6 +172,10 @@ def dryrun_multichip(n_devices: int, devices=None, dp=None, mp=None) -> None:
     s = np.asarray(scores)
     assert not np.isnan(s).any(), "NaN similarity scores in dry run"
     assert np.isfinite(s[s > -np.inf]).all()
+    locs, iconf, icls, iok = (np.asarray(a) for a in inst)
+    assert locs.shape == (B, 4, 3) and iok.shape == (B, 4)
+    n_inst = int(iok.sum())
+    assert np.isfinite(iconf[iok]).all()
 
     # explicit-collective path: shard_map distributed top-k over the
     # mp-sharded store must agree with the GSPMD localize
@@ -177,7 +212,8 @@ def dryrun_multichip(n_devices: int, devices=None, dp=None, mp=None) -> None:
         mmdit_ok = ", mmdit-tp verified"
 
     print(f"dryrun_multichip OK: mesh dp={dp} mp={mp}, "
-          f"{n} voxels, top score {float(s[0]):.4f}, "
+          f"{n} voxels, {n_inst} detector instances, "
+          f"top score {float(s[0]):.4f}, "
           f"distributed top-k verified{mmdit_ok}")
 
 
