@@ -414,6 +414,10 @@ def _text_query_phase(cfg, full, state, params, vit_cfg, rng):
             tokenizer=tokzr,
             num_images=3,
             num_steps=28 if full else 4,
+            # int8 W8A8 MMDiT serving (the reference ships SD3.5
+            # NF4-quantized, memory_2.py:542-560); BENCH_MMDIT_INT8=0
+            # restores bf16 for A/Bs
+            quantize=os.environ.get("BENCH_MMDIT_INT8", "1") != "0",
         )
         log(f"imagination init: {time.perf_counter()-t0:.1f}s")
 

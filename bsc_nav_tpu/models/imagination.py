@@ -50,8 +50,15 @@ class DiffusionImagination:
     t5_params: Optional[dict] = None
     t5_cfg: Optional[object] = None
     t5_tokenizer: Optional[object] = None
+    # int8 W8A8 serving of the MMDiT token matmuls (ops/quant.py) -- the
+    # TPU-native counterpart of the reference's NF4-quantized SD3.5
+    # (memory_2.py:542-560).  Measured on TPU: full forward 116.8 ->
+    # 101.1 ms/b6 (tools/mmdit_profile.py), sampler drift ~5% rel.
+    quantize: bool = False
 
     def __post_init__(self):
+        if self.quantize:
+            self.mmdit_params = M.quantize_params(self.mmdit_params)
         ccfg, mcfg = self.clip_cfg, self.mmdit_cfg
 
         def encode_text(tparams, ids):

@@ -28,10 +28,15 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from bsc_nav_tpu.models.vit import _linear, layer_norm
+from bsc_nav_tpu.models.vit import layer_norm
 from bsc_nav_tpu.ops.flash_attention import (
     attention, joint_qkv_attention, joint_qkv_attention_tp,
     self_qkv_dispatch, use_joint_qkv_attention)
+# dispatching linear: serves both bf16 ({"w", ...}) and int8-quantized
+# ({"w_q", "w_s", ...}) leaves, so quantize_params below can swap the
+# token matmuls to W8A8 (the reference's NF4 `Quantizing` role,
+# memory_2.py:542-560) without touching the forward code
+from bsc_nav_tpu.ops.quant import linear as _linear
 
 
 @dataclasses.dataclass(frozen=True)
@@ -345,6 +350,40 @@ def fuse_mods(params, cfg: MMDiTConfig):
     out["mods"] = {"w": jnp.concatenate(ws, axis=-1),
                    "b": jnp.concatenate(bs, axis=-1)}
     return out, tuple(layout)
+
+
+#: block weights carrying the token-matmul FLOPs (everything whose row
+#: count scales with sequence length); modulation/embedding/final
+#: matmuls run on [B, D] rows or once per step -- quantizing them buys
+#: nothing and they stay bf16
+QUANT_KEYS = ("qkv", "proj", "fc1", "fc2", "qkv2", "proj2")
+
+
+def quantize_params(params, keys=QUANT_KEYS):
+    """int8-quantize the per-block token matmuls (W8A8, ops/quant.py).
+
+    The TPU-native stand-in for the reference's NF4-quantized SD3.5
+    serving (memory_2.py:542-560): int8 runs the MXU at 2x bf16 peak on
+    v5e, so the compute-bound sampler gets faster, not just smaller
+    (NF4/bitsandbytes is weight-only and still pays full-rate matmuls).
+    forward() needs no flag -- the dispatching linear serves quantized
+    and bf16 leaves from one tree.  Composable with fuse_mods (disjoint
+    keys); NOT composable with shard_mmdit_params (TP keeps bf16).
+    """
+    from bsc_nav_tpu.ops.quant import quantize_weight
+    out = {k: v for k, v in params.items() if k != "blocks"}
+    blocks = []
+    for blk in params["blocks"]:
+        nb = {}
+        for name in ("x", "ctx"):
+            s = dict(blk[name])
+            for k in keys:
+                if k in s:
+                    s[k] = quantize_weight(s[k])
+            nb[name] = s
+        blocks.append(nb)
+    out["blocks"] = blocks
+    return out
 
 
 def forward(params, latents: jnp.ndarray, t: jnp.ndarray,

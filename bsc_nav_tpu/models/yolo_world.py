@@ -182,14 +182,42 @@ def init_params(cfg: YoloWorldConfig, key, dtype=jnp.float32,
 # --------------------------------------------------------------------------
 
 def _conv_bn_silu(x, p, stride=1, act=True):
-    y = jax.lax.conv_general_dilated(
-        x, p["w"].astype(x.dtype), (stride, stride), "SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+    if "w_q" in p:      # int8 W8A8 leaf (quantize_params / ops/quant.py)
+        from bsc_nav_tpu.ops.quant import conv_q8
+        y = conv_q8(x, p, stride)
+    else:
+        y = jax.lax.conv_general_dilated(
+            x, p["w"].astype(x.dtype), (stride, stride), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
     inv = jax.lax.rsqrt(p["bn_var"].astype(jnp.float32) + 1e-3)
     y = (y - p["bn_mean"]) * inv * p["bn_scale"] + p["bn_bias"]
     y = y.astype(x.dtype)
     return jax.nn.silu(y) if act else y
+
+
+def quantize_params(params):
+    """int8-quantize every conv+BN layer (W8A8, ops/quant.py).
+
+    The TPU-side counterpart of serving the detector reduced-precision
+    (the reference runs ultralytics fp16 on CUDA, memory_2.py:49).
+    Only conv+BN leaves quantize; the head's final 1x1 box/cls convs,
+    BNContrastiveHead stats and txt_proj stay bf16 so box-regression
+    logits and the contrastive embedding keep full resolution.
+    """
+    from bsc_nav_tpu.ops.quant import quantize_conv_weight
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "w" in node and getattr(node["w"], "ndim", 0) == 4 \
+                    and "bn_var" in node:
+                return quantize_conv_weight(node)
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return walk(params)
 
 
 def _conv_plain(x, p):

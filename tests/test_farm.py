@@ -40,7 +40,10 @@ def _rows(path):
 def test_two_worker_farm_matches_single_run(tmp_path):
     shard = [str(tmp_path / "r.worker0.csv"), str(tmp_path / "r.worker1.csv")]
     common = ["--env", "fake", "--episodes", str(EPISODES), "--llm", "mock",
-              "--log-root", str(tmp_path / "logs")]
+              "--log-root", str(tmp_path / "logs"),
+              # keep retrieval artifacts out of the repo root (the
+              # driver default is ./memory relative to its cwd=REPO)
+              "--memory-root", str(tmp_path / "mem")]
     procs = [
         _run_driver(tmp_path, s, common + [
             "--csv", s, "--num-workers", "2", "--worker-id", str(w)])

@@ -1,0 +1,196 @@
+"""W8A8 int8 quantized serving (ops/quant.py) -- the TPU-native
+equivalent of the reference's NF4-quantized SD3.5 (memory_2.py:542-560).
+
+Semantics bar: quantized linears must track the f32 linears within the
+error budget symmetric-int8 math implies, and the quantized MMDiT must
+stay close to the bf16 model through a full forward and a short sample.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bsc_nav_tpu.models import mmdit as M
+from bsc_nav_tpu.models.vit import _linear
+from bsc_nav_tpu.ops import quant as Q
+
+
+def test_weight_quantization_error_bound():
+    w = jax.random.normal(jax.random.PRNGKey(0), (96, 160)) * 0.3
+    p = {"w": w, "b": jnp.zeros((160,))}
+    q = Q.quantize_weight(p)
+    assert q["w_q"].dtype == jnp.int8
+    recon = q["w_q"].astype(jnp.float32) * q["w_s"]
+    # symmetric rounding: |err| <= scale/2 = col_max/254 elementwise
+    col_max = jnp.max(jnp.abs(w), axis=0)
+    assert float(jnp.max(jnp.abs(recon - w) / col_max)) <= 0.5 / 127 + 1e-6
+
+
+def test_linear_q8_matches_f32_linear():
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
+    x = jax.random.normal(k1, (4, 33, 256))
+    p = {"w": jax.random.normal(k2, (256, 512)) / 16.0,
+         "b": jax.random.normal(k3, (512,)) * 0.1}
+    y_ref = _linear(x, p)
+    y_q = Q.linear_q8(x, Q.quantize_weight(p))
+    # int8 x int8 with per-row/per-col scales: relative L2 error is
+    # O(1/127) per operand; budget 2% over the 256-length reduction
+    rel = float(jnp.linalg.norm(y_q - y_ref) / jnp.linalg.norm(y_ref))
+    assert rel < 0.02, rel
+
+
+def test_linear_dispatch_plain_params_unchanged():
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 32))
+    p = {"w": jax.random.normal(jax.random.PRNGKey(3), (32, 16))}
+    np.testing.assert_array_equal(np.asarray(Q.linear(x, p)),
+                                  np.asarray(_linear(x, p)))
+
+
+def _randomized(cfg, key):
+    """init_params with the adaLN/final zero-inits replaced by noise so
+    blocks actually contribute to the output."""
+    params = M.init_params(cfg, key)
+    ks = iter(jax.random.split(jax.random.PRNGKey(7), 200))
+
+    def noisy(lin):
+        return {"w": jax.random.normal(next(ks), lin["w"].shape) * 0.02,
+                "b": jax.random.normal(next(ks), lin["b"].shape) * 0.02}
+
+    for blk in params["blocks"]:
+        for name in ("x", "ctx"):
+            blk[name]["mod"] = noisy(blk[name]["mod"])
+    params["final_mod"] = noisy(params["final_mod"])
+    params["final_out"] = noisy(params["final_out"])
+    return params
+
+
+@pytest.mark.parametrize("cfg", [M.MMDIT_TEST, M.MMDIT_TEST_DUAL],
+                         ids=["plain", "dual"])
+def test_mmdit_quantized_forward_close(cfg):
+    params = _randomized(cfg, jax.random.PRNGKey(0))
+    qparams = M.quantize_params(params)
+    # structure: token matmuls quantized, mods/embeds untouched
+    blk0 = qparams["blocks"][0]["x"]
+    assert "w_q" in blk0["qkv"] and "w" not in blk0["qkv"]
+    assert "w" in blk0["mod"]
+    if cfg.dual_attention_layers:
+        assert "w_q" in blk0["qkv2"] and "w_q" in blk0["proj2"]
+    assert "w" in qparams["final_out"]
+
+    B, S = 2, 5
+    lat = jax.random.normal(jax.random.PRNGKey(1),
+                            (B, cfg.input_size, cfg.input_size,
+                             cfg.in_channels))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (B, S, cfg.context_dim))
+    pooled = jax.random.normal(jax.random.PRNGKey(3), (B, cfg.pooled_dim))
+    t = jnp.full((B,), 0.5)
+    y = M.forward(params, lat, t, ctx, pooled, cfg)
+    yq = M.forward(qparams, lat, t, ctx, pooled, cfg)
+    rel = float(jnp.linalg.norm(yq - y) / jnp.linalg.norm(y))
+    assert rel < 0.05, rel
+
+
+def test_mmdit_quantized_sampler_close():
+    cfg = M.MMDIT_TEST
+    params = _randomized(cfg, jax.random.PRNGKey(0))
+    qparams = M.quantize_params(params)
+    B, S = 1, 4
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (B, S, cfg.context_dim))
+    pooled = jax.random.normal(jax.random.PRNGKey(3), (B, cfg.pooled_dim))
+    key = jax.random.PRNGKey(9)
+    lat = M.sample(params, key, ctx, pooled, cfg, num_steps=4,
+                   context_uncond=ctx * 0, pooled_uncond=pooled * 0)
+    latq = M.sample(qparams, key, ctx, pooled, cfg, num_steps=4,
+                    context_uncond=ctx * 0, pooled_uncond=pooled * 0)
+    rel = float(jnp.linalg.norm(latq - lat) / jnp.linalg.norm(lat))
+    assert rel < 0.10, rel
+
+
+def test_imagination_quantize_flag():
+    """DiffusionImagination(quantize=True) serves int8 token matmuls
+    end-to-end (bench.py / the agent's text-query path use this)."""
+    from bsc_nav_tpu.models import clip as CL
+    from bsc_nav_tpu.models import tokenizer as T
+    from bsc_nav_tpu.models import vae as V
+    from bsc_nav_tpu.models.imagination import DiffusionImagination
+    cfg = M.MMDIT_TEST
+    ccfg = CL.CLIP_VITB32_TEST
+    vcfg = V.VAE_TEST.__class__(
+        latent_channels=cfg.in_channels, base_channels=16,
+        channel_mults=(1, 2), blocks_per_stage=1, groups=4,
+        scaling_factor=1.0, shift_factor=0.0)
+    imag = DiffusionImagination(
+        mmdit_params=M.init_params(cfg, jax.random.PRNGKey(1)),
+        mmdit_cfg=cfg,
+        vae_params=V.init_params(vcfg, jax.random.PRNGKey(2)),
+        vae_cfg=vcfg,
+        clip_params=CL.init_params(ccfg, jax.random.PRNGKey(0)),
+        clip_cfg=ccfg,
+        tokenizer=T.HashTokenizer(vocab_size=ccfg.vocab_size,
+                                  context_length=ccfg.context_length),
+        num_images=1, num_steps=2, quantize=True)
+    assert "w_q" in imag.mmdit_params["blocks"][0]["x"]["qkv"]
+    out = imag("a red chair")
+    assert out.shape == (1, cfg.input_size * 2, cfg.input_size * 2, 3)
+    assert out.dtype == np.uint8
+
+
+def test_conv_q8_matches_f32_conv():
+    k1, k2 = jax.random.split(jax.random.PRNGKey(4))
+    x = jax.random.normal(k1, (2, 16, 16, 24))
+    p = {"w": jax.random.normal(k2, (3, 3, 24, 32)) / 15.0,
+         "bn_var": jnp.ones((32,))}
+    y_ref = jax.lax.conv_general_dilated(
+        x, p["w"], (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    q = Q.quantize_conv_weight(p)
+    assert q["w_q"].dtype == jnp.int8 and "bn_var" in q
+    y_q = Q.conv_q8(x, q, stride=1)
+    rel = float(jnp.linalg.norm(y_q - y_ref) / jnp.linalg.norm(y_ref))
+    assert rel < 0.02, rel
+
+
+def test_yolo_quantized_detector_close():
+    """Quantized YOLO-World backbone/neck tracks the f32 model through
+    the full forward: raw head outputs stay close and the decoded
+    top-confidence ordering is stable at the test scale."""
+    from bsc_nav_tpu.models import yolo_world as Y
+    cfg = Y.YOLO_TEST
+    params = Y.init_params(cfg, jax.random.PRNGKey(0), text_dim=32)
+    qparams = Y.quantize_params(params)
+    # structure: conv+BN leaves quantized, head finals + contrastive bf16
+    assert "w_q" in qparams["stem0"] and "w" not in qparams["stem0"]
+    assert "w" in qparams["head"][0]["box2"]
+    assert "w_q" in qparams["n12"]["attn"]["proj"]
+    x = jax.random.uniform(jax.random.PRNGKey(1),
+                           (2, cfg.img_size, cfg.img_size, 3))
+    temb = jax.random.normal(jax.random.PRNGKey(2), (5, cfg.embed_dim))
+    temb = temb / jnp.linalg.norm(temb, axis=-1, keepdims=True)
+    outs = Y.forward(params, x, temb, cfg)
+    outs_q = Y.forward(qparams, x, temb, cfg)
+    for (b, c), (bq, cq) in zip(outs, outs_q):
+        relb = float(jnp.linalg.norm(bq - b) / jnp.linalg.norm(b))
+        assert relb < 0.06, relb
+    boxes, conf, cls = Y.decode_topk_device(outs, cfg, k=16)
+    boxes_q, conf_q, cls_q = Y.decode_topk_device(outs_q, cfg, k=16)
+    # top detections agree in class and confidence within the int8 budget
+    assert float(jnp.max(jnp.abs(conf_q - conf))) < 0.05
+    assert int(cls[0, 0]) == int(cls_q[0, 0])
+
+
+def test_quantize_composes_with_fuse_mods():
+    cfg = M.MMDIT_TEST
+    params = _randomized(cfg, jax.random.PRNGKey(0))
+    fused, layout = M.fuse_mods(M.quantize_params(params), cfg)
+    B, S = 2, 5
+    lat = jax.random.normal(jax.random.PRNGKey(1),
+                            (B, cfg.input_size, cfg.input_size,
+                             cfg.in_channels))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (B, S, cfg.context_dim))
+    pooled = jax.random.normal(jax.random.PRNGKey(3), (B, cfg.pooled_dim))
+    t = jnp.full((B,), 0.5)
+    y = M.forward(M.quantize_params(params), lat, t, ctx, pooled, cfg)
+    yf = M.forward(fused, lat, t, ctx, pooled, cfg, mod_layout=layout)
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(y),
+                               rtol=0, atol=1e-4)

@@ -54,6 +54,11 @@ def main():
     t_full = timed("full forward (1 step, B=6)", jax.jit(full),
                    params, lat)
 
+    qparams = M.quantize_params(params)
+    timed("full forward int8 token matmuls (B=6)", jax.jit(full),
+          qparams, lat)
+    del qparams
+
     fused_params, layout = M.fuse_mods(params, cfg)
 
     def full_fused(p, lat):
@@ -102,6 +107,50 @@ def main():
             cx.astype(jnp.float32))
     timed("matmul-only stack x24 (qkv+proj+mlp, both streams)",
           jax.jit(matmul_stack), x, cx)
+
+    from bsc_nav_tpu.ops import quant as Q
+    qblk = {st: {k: (Q.quantize_weight(v) if k in M.QUANT_KEYS else v)
+                 for k, v in blk[st].items()} for st in ("x", "ctx")}
+
+    def matmul_stack_q8(x, cx):
+        for _ in range(24):
+            for stream, xx in (("x", x), ("ctx", cx)):
+                s = qblk[stream]
+                y = Q.linear(xx, s["qkv"])[..., :D]
+                y = Q.linear(y, s["proj"])
+                y = Q.linear(jax.nn.gelu(Q.linear(y, s["fc1"]),
+                                         approximate=True), s["fc2"])
+                if stream == "x":
+                    x = x + y
+                else:
+                    cx = cx + y
+        return jnp.sum(x.astype(jnp.float32)) + jnp.sum(
+            cx.astype(jnp.float32))
+    timed("matmul-only stack x24, int8 W8A8",
+          jax.jit(matmul_stack_q8), x, cx)
+
+    # raw MXU rate check at the body shape: [B*Sx, D] x [D, 4D]
+    a_bf = jax.random.normal(jax.random.PRNGKey(10), (B * Sx, D),
+                             jnp.bfloat16)
+    w_bf = jax.random.normal(jax.random.PRNGKey(11), (D, 4 * D),
+                             jnp.bfloat16)
+    a_i8 = jnp.round(a_bf.astype(jnp.float32) * 16).astype(jnp.int8)
+    w_i8 = jnp.round(w_bf.astype(jnp.float32) * 16).astype(jnp.int8)
+
+    def mm20(a, w, acc_t):
+        tot = 0
+        for i in range(20):
+            y = jax.lax.dot_general(a, w, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=acc_t)
+            tot = tot + y[0, i]
+        return tot
+    flops = 2 * a_bf.shape[0] * D * 4 * D * 20
+    ms = timed("raw matmul x20 bf16 [6144,1536]x[1536,6144]",
+               jax.jit(lambda a, w: mm20(a, w, jnp.float32)), a_bf, w_bf)
+    print(f"  -> {flops / ms / 1e9:.1f} TFLOP/s")
+    ms = timed("raw matmul x20 int8->int32 same shape",
+               jax.jit(lambda a, w: mm20(a, w, jnp.int32)), a_i8, w_i8)
+    print(f"  -> {flops / ms / 1e9:.1f} TOP/s")
 
     def qkv_transposes(x, cx):
         for _ in range(24):

@@ -91,6 +91,11 @@ def main():
         p, l, jnp.full((3,), 0.5), c, po, mcfg).astype(jnp.float32)))
     rows.append(timed("sd3.5-medium mmdit b3@512px step", mfwd, mparams,
                       lat, ctx, pooled, iters=3))
+    # int8 W8A8 serving row (ops/quant.py; bench's default text-query
+    # path via DiffusionImagination(quantize=True))
+    rows.append(timed("sd3.5-medium mmdit b3 int8 W8A8", mfwd,
+                      M.quantize_params(mparams), lat, ctx, pooled,
+                      iters=3))
     del mparams
 
     # --- SD3 VAE decode (text-query imagination shape) ---------------------

@@ -49,6 +49,10 @@ def main():
             b.astype(jnp.float32)) for a, b in outs)
     t_full = timed("full forward b32@640", jax.jit(full), params, x640,
                    temb)
+    qparams = Y.quantize_params(params)
+    timed("full forward b32@640 int8 W8A8 convs", jax.jit(full), qparams,
+          x640, temb)
+    del qparams
 
     def fwd_decode(p, x, t):
         boxes, conf, cls = Y.decode_topk_device(
@@ -82,6 +86,34 @@ def main():
                  params, x640)
     print(f"\nneck+head = full - backbone ~= {t_full - t_bb:.1f} ms",
           flush=True)
+
+    # raw conv rate probe: does XLA's TPU conv lowering run int8 above
+    # the bf16 rate at a C2f body shape?  (The stack sits at ~46% MFU
+    # bf16 -- if that ceiling is lowering overhead rather than MXU rate,
+    # int8 buys nothing and the W8A8 detector idea dies here.)
+    ca = jax.random.normal(jax.random.PRNGKey(4), (B, 80, 80, 320),
+                           jnp.bfloat16)
+    cw = jax.random.normal(jax.random.PRNGKey(5), (3, 3, 320, 320),
+                           jnp.bfloat16) * 0.05
+    ca8 = jnp.round(ca.astype(jnp.float32) * 8).astype(jnp.int8)
+    cw8 = jnp.round(cw.astype(jnp.float32) * 160).astype(jnp.int8)
+
+    def conv10(x, w, acc):
+        tot = 0.0
+        for i in range(10):
+            y = jax.lax.conv_general_dilated(
+                x, w, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=acc)
+            tot = tot + y[0, i, 0, 0]
+        return tot
+    flops = 2 * B * 80 * 80 * 9 * 320 * 320 * 10
+    ms = timed("raw conv3x3 x10 [32,80,80,320] bf16",
+               jax.jit(lambda x, w: conv10(x, w, jnp.float32)), ca, cw)
+    print(f"  -> {flops / ms / 1e9:.1f} TFLOP/s", flush=True)
+    ms = timed("raw conv3x3 x10 same shape int8->int32",
+               jax.jit(lambda x, w: conv10(x, w, jnp.int32)), ca8, cw8)
+    print(f"  -> {flops / ms / 1e9:.1f} TOP/s", flush=True)
 
 
 if __name__ == "__main__":
