@@ -106,6 +106,11 @@ def main():
 
     params = vit.init_params(vit_cfg, jax.random.PRNGKey(0),
                              dtype=jnp.bfloat16)
+    # int8 W8A8 encoder serving (vit.quantize_params): ViT-L 38.8 ->
+    # 30.8 ms/b32 isolated; BENCH_VIT_INT8=0 restores bf16 for A/Bs
+    vit_int8 = os.environ.get("BENCH_VIT_INT8", "1") != "0"
+    if vit_int8:
+        params = vit.quantize_params(params)
     build_step = make_build_step(cfg, vit_cfg, compute_dtype=jnp.bfloat16)
     query_step = make_query_step(cfg, vit_cfg, compute_dtype=jnp.bfloat16)
 

@@ -76,6 +76,11 @@ class Perception:
                         f"real scenes)", file=sys.stderr)
                 vit_params = vit.init_params(
                     vit_cfg, jax.random.PRNGKey(seed))
+        if cfg.models.encoder_int8:
+            # serving-only W8A8 (config.ModelConfig.encoder_int8); the
+            # dispatching _linear serves quantized leaves transparently
+            # in build/query/pool programs alike
+            vit_params = vit.quantize_params(vit_params)
         from bsc_nav_tpu.memory.query import gaussian_center_pool
 
         @jax.jit

@@ -140,6 +140,11 @@ class ModelConfig:
     diffusion: str = "sd35_medium"          # args.py:48
     dtype: str = "bfloat16"
     weights_dir: Optional[str] = None       # directory of converted .npz weights
+    # int8 W8A8 encoder serving (vit.quantize_params): ViT-L forward
+    # 38.8 -> 30.8 ms/b32 measured on TPU v5e, per-token feature cosine
+    # > 0.995 and retrieval ranks stable (tests/test_quant.py).  Not
+    # composable with tensor-parallel encoder sharding (TP keeps bf16).
+    encoder_int8: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -145,11 +145,33 @@ def layer_norm(x, p, eps):
 
 
 def _linear(x, p):
+    if "w_q" in p:      # int8 W8A8 leaf (quantize_params / ops/quant.py)
+        from bsc_nav_tpu.ops.quant import linear_q8
+        return linear_q8(x, p)
     y = jnp.einsum("...d,df->...f", x, p["w"],
                    preferred_element_type=jnp.float32)
     if "b" in p:
         y = y + p["b"].astype(jnp.float32)
     return y.astype(x.dtype)
+
+
+def quantize_params(params):
+    """int8-quantize the per-block token matmuls (W8A8, ops/quant.py):
+    qkv / proj / fc1 / fc2.  Serving-only option for the frozen encoder
+    (same role as mmdit.quantize_params); patch_embed, layer norms,
+    layer scales and tokens stay bf16.  NOT composable with
+    shard_vit_params TP layouts (TP serving keeps bf16)."""
+    from bsc_nav_tpu.ops.quant import quantize_weight
+    out = {k: v for k, v in params.items() if k != "blocks"}
+    blocks = []
+    for blk in params["blocks"]:
+        nb = dict(blk)
+        for k in ("qkv", "proj", "fc1", "fc2"):
+            if k in nb:
+                nb[k] = quantize_weight(nb[k])
+        blocks.append(nb)
+    out["blocks"] = blocks
+    return out
 
 
 def patchify(images: jnp.ndarray, patch: int) -> jnp.ndarray:

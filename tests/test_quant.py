@@ -194,3 +194,55 @@ def test_quantize_composes_with_fuse_mods():
     yf = M.forward(fused, lat, t, ctx, pooled, cfg, mod_layout=layout)
     np.testing.assert_allclose(np.asarray(yf), np.asarray(y),
                                rtol=0, atol=1e-4)
+
+
+def test_vit_quantized_features_close():
+    """int8 W8A8 encoder serving (vit.quantize_params): the frozen
+    DINOv2 features feed the cosine token store, so the bar is
+    per-token cosine similarity to the bf16 model, not raw L2."""
+    from bsc_nav_tpu.models import vit as VT
+
+    cfg = VT.ViTConfig(img_size=56, patch_size=14, dim=128, depth=4,
+                       heads=4, num_registers=4)
+    params = VT.init_params(cfg, jax.random.PRNGKey(0))
+    qparams = VT.quantize_params(params)
+    blk0 = qparams["blocks"][0]
+    assert "w_q" in blk0["qkv"] and "w" not in blk0["fc2"]
+    assert "w" in qparams["patch_embed"]          # embeds stay full
+
+    img = jax.random.uniform(jax.random.PRNGKey(1), (2, 56, 56, 3))
+    f = VT.forward_features(params, img, cfg)
+    fq = VT.forward_features(qparams, img, cfg)
+    for key in ("x_norm_patchtokens", "x_norm_clstoken"):
+        a = np.asarray(f[key], np.float32).reshape(-1, cfg.dim)
+        b = np.asarray(fq[key], np.float32).reshape(-1, cfg.dim)
+        cos = np.sum(a * b, -1) / (
+            np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1))
+        assert float(cos.min()) > 0.995, (key, float(cos.min()))
+
+
+def test_vit_quantized_retrieval_rank_stable():
+    """Cosine retrieval against a store of bf16 PATCH tokens (what the
+    voxel store holds) keeps the same argmax when queries come from the
+    quantized encoder.  (cls tokens of a random-init ViT collapse to
+    one direction, so patch tokens are the discriminative test bed.)"""
+    from bsc_nav_tpu.models import vit as VT
+
+    cfg = VT.ViTConfig(img_size=56, patch_size=14, dim=128, depth=4,
+                       heads=4, num_registers=4)
+    params = VT.init_params(cfg, jax.random.PRNGKey(0))
+    qparams = VT.quantize_params(params)
+    imgs = jax.random.uniform(jax.random.PRNGKey(2), (8, 56, 56, 3))
+    ref = np.asarray(VT.forward_features(params, imgs, cfg)
+                     ["x_norm_patchtokens"], np.float32).reshape(-1, cfg.dim)
+    qry = np.asarray(VT.forward_features(qparams, imgs, cfg)
+                     ["x_norm_patchtokens"], np.float32).reshape(-1, cfg.dim)
+    refn = ref / np.linalg.norm(ref, axis=-1, keepdims=True)
+    qryn = qry / np.linalg.norm(qry, axis=-1, keepdims=True)
+    sims = qryn @ refn.T                      # [128 queries, 128 store]
+    n = ref.shape[0]
+    assert (np.argmax(sims, axis=-1) == np.arange(n)).all()
+    # self-similarity ~1 with clear margin over the best distractor
+    off = sims - 2.0 * np.eye(n)
+    assert float(np.diag(sims).min()) > 0.999
+    assert float(off.max()) < 0.99

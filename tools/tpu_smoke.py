@@ -65,6 +65,9 @@ def main():
     fwd = jax.jit(lambda p, x: jnp.sum(vit.forward_features(
         p, x, vcfg)["x_norm_patchtokens"].astype(jnp.float32)))
     rows.append(timed("dinov2_vitl14_reg b32@224", fwd, vparams, img))
+    # int8 W8A8 serving row (ops/quant.py; bench's default encoder)
+    rows.append(timed("dinov2_vitl14_reg b32 int8 W8A8", fwd,
+                      vit.quantize_params(vparams), img))
 
     # --- CLIP ViT-H image tower -----------------------------------------
     from bsc_nav_tpu.models import clip as C

@@ -48,6 +48,9 @@ def main():
     full = jax.jit(lambda p, x: jnp.sum(vit.forward_features(
         p, x, cfg)["x_norm_patchtokens"].astype(jnp.float32)))
     t_full = timed("full forward b32@224", full, params, img)
+    qparams = vit.quantize_params(params)
+    timed("full forward b32@224 int8 W8A8 matmuls", full, qparams, img)
+    del qparams
 
     blk = params["blocks"][0]
 
