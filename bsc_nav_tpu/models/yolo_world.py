@@ -196,14 +196,28 @@ def _conv_bn_silu(x, p, stride=1, act=True):
     return jax.nn.silu(y) if act else y
 
 
-def quantize_params(params):
-    """int8-quantize every conv+BN layer (W8A8, ops/quant.py).
+#: top-level param keys of the backbone (stem..sppf).  Measured on TPU
+#: v5e (tools/yolo_profile.py, honest chained probes): int8 W8A8 LOSES
+#: on the backbone (50.9 -> 57.8 ms/b32 -- the early high-resolution
+#: low-channel stages pay activation-quantization bandwidth without an
+#: MXU rate win) but WINS 1.3x on the neck+head (39.4 -> 30.4 ms/b32),
+#: so quantization defaults to neck/head scope.
+BACKBONE_KEYS = ("stem0", "stem1", "c2f_2", "down3", "c2f_4", "down5",
+                 "c2f_6", "down7", "c2f_8", "sppf")
+
+
+def quantize_params(params, scope: str = "neck"):
+    """int8-quantize conv+BN layers (W8A8, ops/quant.py).
 
     The TPU-side counterpart of serving the detector reduced-precision
     (the reference runs ultralytics fp16 on CUDA, memory_2.py:49).
     Only conv+BN leaves quantize; the head's final 1x1 box/cls convs,
     BNContrastiveHead stats and txt_proj stay bf16 so box-regression
     logits and the contrastive embedding keep full resolution.
+
+    scope: "neck" (default) quantizes only the PAN neck + head stacks
+    where int8 measures 1.3x faster; "all" also quantizes the backbone
+    (measured slower end-to-end -- kept for A/Bs).
     """
     from bsc_nav_tpu.ops.quant import quantize_conv_weight
 
@@ -217,7 +231,8 @@ def quantize_params(params):
             return [walk(v) for v in node]
         return node
 
-    return walk(params)
+    skip = set(BACKBONE_KEYS) if scope == "neck" else set()
+    return {k: (v if k in skip else walk(v)) for k, v in params.items()}
 
 
 def _conv_plain(x, p):

@@ -158,11 +158,16 @@ def test_yolo_quantized_detector_close():
     from bsc_nav_tpu.models import yolo_world as Y
     cfg = Y.YOLO_TEST
     params = Y.init_params(cfg, jax.random.PRNGKey(0), text_dim=32)
-    qparams = Y.quantize_params(params)
+    qparams = Y.quantize_params(params, scope="all")
     # structure: conv+BN leaves quantized, head finals + contrastive bf16
     assert "w_q" in qparams["stem0"] and "w" not in qparams["stem0"]
     assert "w" in qparams["head"][0]["box2"]
     assert "w_q" in qparams["n12"]["attn"]["proj"]
+    # default scope keeps the backbone bf16 (measured faster end to end)
+    qneck = Y.quantize_params(params)
+    assert "w" in qneck["stem0"] and "w_q" not in qneck["stem0"]
+    assert "w_q" in qneck["n12"]["attn"]["proj"]
+    assert "w_q" in qneck["d16"]
     x = jax.random.uniform(jax.random.PRNGKey(1),
                            (2, cfg.img_size, cfg.img_size, 3))
     temb = jax.random.normal(jax.random.PRNGKey(2), (5, cfg.embed_dim))

@@ -49,10 +49,12 @@ def main():
             b.astype(jnp.float32)) for a, b in outs)
     t_full = timed("full forward b32@640", jax.jit(full), params, x640,
                    temb)
-    qparams = Y.quantize_params(params)
-    timed("full forward b32@640 int8 W8A8 convs", jax.jit(full), qparams,
-          x640, temb)
-    del qparams
+    # scoped W8A8 (r3 honest probes): neck+head int8 wins, backbone int8
+    # loses -- scope="neck" is the serving default (bench BENCH_YOLO_INT8)
+    timed("full forward b32@640 int8 scope=neck", jax.jit(full),
+          Y.quantize_params(params), x640, temb)
+    timed("full forward b32@640 int8 scope=all", jax.jit(full),
+          Y.quantize_params(params, scope="all"), x640, temb)
 
     def fwd_decode(p, x, t):
         boxes, conf, cls = Y.decode_topk_device(
@@ -87,32 +89,44 @@ def main():
     print(f"\nneck+head = full - backbone ~= {t_full - t_bb:.1f} ms",
           flush=True)
 
-    # raw conv rate probe: does XLA's TPU conv lowering run int8 above
-    # the bf16 rate at a C2f body shape?  (The stack sits at ~46% MFU
-    # bf16 -- if that ceiling is lowering overhead rather than MXU rate,
-    # int8 buys nothing and the W8A8 detector idea dies here.)
+    # raw conv rate probe, CHAINED so XLA cannot CSE the repeats (the
+    # earlier same-weight x10 probe dedup'd to ONE conv and reported an
+    # impossible 778 TFLOP/s on a 394-peak chip).  Honest result at the
+    # C2f body shape: bf16 141.9 TFLOP/s vs int8 213.7 TOP/s (1.5x) --
+    # the rate win EXISTS, but in the full model it only survives on the
+    # neck/head (early high-res low-channel stages pay quantization
+    # bandwidth with no MXU win, so scope="neck" is the default).
     ca = jax.random.normal(jax.random.PRNGKey(4), (B, 80, 80, 320),
                            jnp.bfloat16)
-    cw = jax.random.normal(jax.random.PRNGKey(5), (3, 3, 320, 320),
-                           jnp.bfloat16) * 0.05
+    cws = jax.random.normal(jax.random.PRNGKey(5), (10, 3, 3, 320, 320),
+                            jnp.bfloat16) * 0.05
     ca8 = jnp.round(ca.astype(jnp.float32) * 8).astype(jnp.int8)
-    cw8 = jnp.round(cw.astype(jnp.float32) * 160).astype(jnp.int8)
+    cw8 = jnp.round(cws.astype(jnp.float32) * 160).astype(jnp.int8)
 
-    def conv10(x, w, acc):
-        tot = 0.0
+    def chain_bf16(x, ws):
+        for i in range(10):
+            x = (jax.lax.conv_general_dilated(
+                x, ws[i], (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32)
+                .astype(jnp.bfloat16) * 0.1)
+        return jnp.sum(x.astype(jnp.float32))
+
+    def chain_int8(x, ws):
         for i in range(10):
             y = jax.lax.conv_general_dilated(
-                x, w, (1, 1), "SAME",
+                x, ws[i], (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=acc)
-            tot = tot + y[0, i, 0, 0]
-        return tot
+                preferred_element_type=jnp.int32)
+            x = jnp.clip(y // 1024, -127, 127).astype(jnp.int8)
+        return jnp.sum(x.astype(jnp.float32))
+
     flops = 2 * B * 80 * 80 * 9 * 320 * 320 * 10
-    ms = timed("raw conv3x3 x10 [32,80,80,320] bf16",
-               jax.jit(lambda x, w: conv10(x, w, jnp.float32)), ca, cw)
+    ms = timed("chained conv3x3 x10 [32,80,80,320] bf16",
+               jax.jit(chain_bf16), ca, cws)
     print(f"  -> {flops / ms / 1e9:.1f} TFLOP/s", flush=True)
-    ms = timed("raw conv3x3 x10 same shape int8->int32",
-               jax.jit(lambda x, w: conv10(x, w, jnp.int32)), ca8, cw8)
+    ms = timed("chained conv3x3 x10 same shape int8->int32",
+               jax.jit(chain_int8), ca8, cw8)
     print(f"  -> {flops / ms / 1e9:.1f} TOP/s", flush=True)
 
 
