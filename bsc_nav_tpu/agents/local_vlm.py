@@ -174,7 +174,14 @@ class LocalVLMClient:
 
     def __init__(self, params, cfg: Q.QwenVLConfig, tokenizer,
                  image_size: int = 224, max_new_tokens: int = 128,
-                 prompt_buckets: Sequence[int] = (256, 512, 1024, 2048)):
+                 prompt_buckets: Sequence[int] = (256, 512, 1024, 2048),
+                 quantize: bool = False):
+        if quantize:
+            # int8 W8A8 on the decoder matmuls (qwen_vl.quantize_params):
+            # greedy decode streams every decoder weight per token, so
+            # int8 halves the weight HBM traffic (tests/test_quant.py::
+            # test_qwen_quantized_*)
+            params = Q.quantize_params(params, scope="text")
         self.params = params
         self.cfg = cfg
         self.tok = tokenizer

@@ -27,12 +27,17 @@ class LabelMatcher(Protocol):
 class CLIPMatcher:
     """CLIP-backed scorer + matcher over converted checkpoints."""
 
-    def __init__(self, clip_params, clip_cfg, tokenizer):
+    def __init__(self, clip_params, clip_cfg, tokenizer, quantize=False):
         import jax
         import jax.numpy as jnp
         from bsc_nav_tpu.models import clip as C
         from bsc_nav_tpu.models import tokenizer as T
 
+        if quantize:
+            # int8 W8A8 on the tower token matmuls (clip.quantize_params);
+            # view scores are softmaxed similarities, robust to the ~1e-2
+            # feature drift (tests/test_quant.py::test_clip_quantized)
+            clip_params = C.quantize_params(clip_params)
         self.params, self.cfg, self.tok = clip_params, clip_cfg, tokenizer
         self._C, self._T = C, T
 

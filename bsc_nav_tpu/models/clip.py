@@ -116,6 +116,40 @@ def init_params(cfg: CLIPConfig, key, dtype=jnp.float32) -> Dict[str, Any]:
     }
 
 
+def quantize_params(params: Dict[str, Any],
+                    towers: str = "both") -> Dict[str, Any]:
+    """int8 W8A8 (ops/quant.py) on the per-block token matmuls of the
+    CLIP towers: qkv / proj / fc1 / fc2.  Serving-only, same role as
+    vit.quantize_params — fills the reference's quantized-serving slot
+    (reference memory_2.py:542-560 uses NF4; see ops/quant.py for why
+    W8A8 is the TPU-native scheme).  Embeddings, layer norms and the
+    final projection matrices stay bf16/f32.
+
+    towers: "both" | "visual" | "text" — the image tower dominates
+    FLOPs (ViT-H/14 b12 ≈ 2.0 TFLOP vs ~0.1 for a text batch), but the
+    text tower shares the same leaf layout so both are supported.
+    """
+    from bsc_nav_tpu.ops.quant import quantize_weight
+
+    def q_tower(tower):
+        out = {k: v for k, v in tower.items() if k != "blocks"}
+        blocks = []
+        for blk in tower["blocks"]:
+            nb = dict(blk)
+            for k in ("qkv", "proj", "fc1", "fc2"):
+                nb[k] = quantize_weight(nb[k])
+            blocks.append(nb)
+        out["blocks"] = blocks
+        return out
+
+    out = dict(params)
+    if towers in ("both", "visual"):
+        out["visual"] = q_tower(params["visual"])
+    if towers in ("both", "text"):
+        out["text"] = q_tower(params["text"])
+    return out
+
+
 def _quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
 

@@ -118,11 +118,70 @@ def _rotate_half(x):
 
 
 def _linear(x, w, b=None):
+    if isinstance(w, dict):   # int8 W8A8 leaf {"w_q","w_s"} (quantize_params)
+        from bsc_nav_tpu.ops.quant import linear_q8
+        return linear_q8(x, w if b is None else {**w, "b": b})
     y = jnp.einsum("...d,df->...f", x, w,
                    preferred_element_type=jnp.float32)
     if b is not None:
         y = y + b.astype(jnp.float32)
     return y.astype(x.dtype)
+
+
+def quantize_params(params: Dict[str, Any],
+                    scope: str = "text") -> Dict[str, Any]:
+    """int8 W8A8 (ops/quant.py) on the matmul weights of the local VLM
+    judge — fills the reference's quantized-serving slot for its local
+    models (reference memory_2.py:542-560 NF4 rationale; see ops/quant.py
+    for the TPU-native W8A8 scheme).
+
+    Greedy decode is the latency-critical role (agents/local_vlm.py):
+    at B=1 every generated token streams every decoder weight through
+    HBM once, so the matvecs are weight-bandwidth-bound and int8 halves
+    the per-token traffic; lm_head ([hidden, ~152k vocab]) is the single
+    biggest row.  scope: "text" (default, the decode path) | "vision" |
+    "all".  Embedding tables (gathers), rms-norm scales and biases stay
+    full precision; the quantized leaves are {"w_q","w_s"} dicts that
+    `_linear` dispatches on.
+    """
+    from bsc_nav_tpu.ops.quant import quantize_weight
+
+    def q(w):
+        return quantize_weight({"w": w})
+
+    def q_mlp(m):
+        nm = dict(m)
+        for k in ("gate_w", "up_w", "down_w"):
+            nm[k] = q(nm[k])
+        return nm
+
+    out = dict(params)
+    if scope in ("text", "all"):
+        layers = []
+        for blk in params["layers"]:
+            nb = dict(blk)
+            for k in ("q_w", "k_w", "v_w", "o_w"):
+                nb[k] = q(nb[k])
+            nb["mlp"] = q_mlp(nb["mlp"])
+            layers.append(nb)
+        out["layers"] = layers
+        out["lm_head"] = q(params["lm_head"])
+    if scope in ("vision", "all"):
+        vis = dict(params["vision"])
+        blocks = []
+        for blk in vis["blocks"]:
+            nb = dict(blk)
+            nb["qkv_w"] = q(nb["qkv_w"])
+            nb["proj_w"] = q(nb["proj_w"])
+            nb["mlp"] = q_mlp(nb["mlp"])
+            blocks.append(nb)
+        vis["blocks"] = blocks
+        merger = dict(vis["merger"])
+        merger["fc1_w"] = q(merger["fc1_w"])
+        merger["fc2_w"] = q(merger["fc2_w"])
+        vis["merger"] = merger
+        out["vision"] = vis
+    return out
 
 
 def _swiglu(x, p):

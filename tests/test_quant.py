@@ -201,6 +201,52 @@ def test_quantize_composes_with_fuse_mods():
                                rtol=0, atol=1e-4)
 
 
+def test_qwen_quantized_forward_close():
+    """int8 W8A8 on the local-judge decoder (qwen_vl.quantize_params):
+    full-sequence logits stay close and text structure is right (decode
+    matvecs are weight-bandwidth-bound, see the module docstring)."""
+    from bsc_nav_tpu.models import qwen_vl as Q8
+
+    cfg = Q8.QWEN_VL_TEST
+    params = Q8.init_params(cfg, None)
+    qp = Q8.quantize_params(params)
+    l0 = qp["layers"][0]
+    assert "w_q" in l0["q_w"] and "w_q" in l0["mlp"]["down_w"]
+    assert "w_q" in qp["lm_head"]
+    assert not isinstance(qp["embed"], dict)        # gather stays full
+    assert not isinstance(qp["vision"]["blocks"][0]["qkv_w"], dict)
+    qall = Q8.quantize_params(params, scope="all")
+    assert "w_q" in qall["vision"]["blocks"][0]["qkv_w"]
+    assert "w_q" in qall["vision"]["merger"]["fc2_w"]
+
+    B, S = 1, 12
+    ids = jax.random.randint(jax.random.PRNGKey(0), (B, S), 1,
+                             cfg.text.vocab)
+    emb = Q8.embed_tokens(params, ids)
+    pos = jnp.broadcast_to(jnp.arange(S)[None, None], (3, B, S))
+    y = Q8.text_forward(params, emb, pos, cfg.text)
+    yq = Q8.text_forward(qp, emb, pos, cfg.text)
+    rel = float(jnp.linalg.norm(yq - y) / jnp.linalg.norm(y))
+    assert rel < 0.05, rel
+
+
+def test_qwen_quantized_generation_runs():
+    """The one-dispatch greedy generator runs end-to-end on quantized
+    params through the LocalVLMClient quantize flag (the `--llm local`
+    serving path)."""
+    from bsc_nav_tpu.agents.local_vlm import ByteTokenizer, LocalVLMClient
+    from bsc_nav_tpu.models import qwen_vl as Q8
+
+    cfg = Q8.QWEN_VL_TEST
+    client = LocalVLMClient(
+        Q8.init_params(cfg, None), cfg, ByteTokenizer(),
+        image_size=2 * cfg.vision.patch * cfg.vision.merge,
+        max_new_tokens=4, prompt_buckets=(64,), quantize=True)
+    assert "w_q" in client.params["layers"][0]["q_w"]
+    out = client.chat("local", [{"role": "user", "content": "hi"}])
+    assert isinstance(out, str)
+
+
 def test_vit_quantized_features_close():
     """int8 W8A8 encoder serving (vit.quantize_params): the frozen
     DINOv2 features feed the cosine token store, so the bar is
@@ -224,6 +270,62 @@ def test_vit_quantized_features_close():
         cos = np.sum(a * b, -1) / (
             np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1))
         assert float(cos.min()) > 0.995, (key, float(cos.min()))
+
+
+def test_clip_quantized():
+    """int8 W8A8 on the CLIP towers (clip.quantize_params): image/text
+    features must stay near-parallel to the bf16 features (scores in
+    matchers.CLIPMatcher are cosine softmaxes) and cross-modal ranking
+    must be stable."""
+    from bsc_nav_tpu.models import clip as CL
+
+    cfg = CL.CLIP_VITB32_TEST
+    params = CL.init_params(cfg, jax.random.PRNGKey(0))
+    qparams = CL.quantize_params(params)
+    # structure: block matmuls quantized in both towers, embeds/proj full
+    vb0 = qparams["visual"]["blocks"][0]
+    assert "w_q" in vb0["qkv"] and "w" not in vb0["fc2"]
+    assert "w" in qparams["visual"]["patch_embed"]
+    assert qparams["visual"]["proj"].ndim == 2      # raw matrix untouched
+    assert "w_q" in qparams["text"]["blocks"][0]["fc1"]
+    # towers="visual" leaves the text tower alone
+    qv = CL.quantize_params(params, towers="visual")
+    assert "w" in qv["text"]["blocks"][0]["qkv"]
+
+    imgs = jax.random.uniform(jax.random.PRNGKey(1),
+                              (6, cfg.image_size, cfg.image_size, 3))
+    ids = jax.random.randint(jax.random.PRNGKey(2), (6, cfg.context_length),
+                             1, cfg.vocab_size)
+    fi = np.asarray(CL.encode_image(params, imgs, cfg))
+    fiq = np.asarray(CL.encode_image(qparams, imgs, cfg))
+    ft = np.asarray(CL.encode_text(params, ids, cfg))
+    ftq = np.asarray(CL.encode_text(qparams, ids, cfg))
+    for a, b in ((fi, fiq), (ft, ftq)):
+        cos = np.sum(a * b, -1)        # both are unit-normalized
+        assert float(cos.min()) > 0.995, float(cos.min())
+    # the cross-modal similarity matrix (what the check_around softmax
+    # consumes) drifts less than the int8 budget.  (argmax rank is not a
+    # meaningful bar on a random-init CLIP: cross-modal sims are
+    # near-degenerate ~0, unlike the self-retrieval vit test below.)
+    assert float(np.max(np.abs(fi @ ft.T - fiq @ ftq.T))) < 0.03
+
+
+def test_clip_matcher_quantize_flag():
+    from bsc_nav_tpu.agents.matchers import CLIPMatcher
+    from bsc_nav_tpu.models import clip as CL
+    from bsc_nav_tpu.models import tokenizer as T
+
+    cfg = CL.CLIP_VITB32_TEST
+    params = CL.init_params(cfg, jax.random.PRNGKey(0))
+    tok = T.HashTokenizer(vocab_size=cfg.vocab_size,
+                          context_length=cfg.context_length)
+    m = CLIPMatcher(params, cfg, tok, quantize=True)
+    assert "w_q" in m.params["visual"]["blocks"][0]["qkv"]
+    views = [np.random.default_rng(i).integers(
+        0, 255, (64, 64, 3), dtype=np.uint8) for i in range(3)]
+    s = m.score(views, "a red chair")
+    assert s.shape == (3,) and abs(float(s.sum()) - 1.0) < 1e-5
+    assert m.best("chair", ["table", "chair", "sofa"]) in range(3)
 
 
 def test_vit_quantized_retrieval_rank_stable():
