@@ -55,6 +55,19 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+# cold-start budget (VERDICT r3 item 4): every jitted entry's
+# compile+first-execute seconds, reported in the output JSON.  With a
+# warm persistent cache (JAX_CACHE_DIR) these drop to cache-reload
+# time; BENCH_STARTUP_ONLY=1 exits after collecting them so cold-vs-
+# warm restarts can be measured back to back.
+STARTUP = {}
+
+
+def _startup(name, seconds):
+    STARTUP[name] = round(seconds, 1)
+    log(f"{name} compile+first: {seconds:.1f}s")
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -218,8 +231,7 @@ def main():
     carry = (state, jax.random.PRNGKey(0))
     t0 = time.perf_counter()
     carry, stats = build_step(carry, params, *batches[0][:3])
-    log(f"build compile+first: {time.perf_counter()-t0:.1f}s, "
-        f"voxels={int(stats['num_voxels'])}")
+    _startup("build_step", time.perf_counter() - t0)
     t0 = time.perf_counter()
     for i in range(n_iters):
         carry, stats = build_step(carry, params, *batches[i % 4][:3])
@@ -241,19 +253,26 @@ def main():
                               batches[0][1], batches[0][2],
                               stress_rate=0)
     _ = float(dev_out[1][0, 0])
-    log(f"detector compile+first: {time.perf_counter()-t0:.1f}s")
+    _startup("detector", time.perf_counter() - t0)
     det_rate = int(os.environ.get("BENCH_DET_RATE", 6))
     t0 = time.perf_counter()
     dev_out = detect_dispatch(yparams, batches[0][0], detector.text_emb,
                               batches[0][1], batches[0][2],
                               stress_rate=det_rate)
     _ = float(dev_out[1][0, 0])
-    log(f"stressed-variant compile+first: {time.perf_counter()-t0:.1f}s")
+    _startup("detector_stressed", time.perf_counter() - t0)
     if integrate_on_device:
         t0 = time.perf_counter()
         warm = lt_scan(LT.integrate_state_init(LT_CAP), *dev_out)
         _ = float(warm[1][0])
-        log(f"lt-scan compile+first: {time.perf_counter()-t0:.1f}s")
+        _startup("lt_scan", time.perf_counter() - t0)
+
+    if os.environ.get("BENCH_STARTUP_ONLY"):
+        print(json.dumps({"metric": "startup_seconds",
+                          "value": round(sum(STARTUP.values()), 1),
+                          "unit": "s", "vs_baseline": None,
+                          "startup": dict(STARTUP)}))
+        return
 
     def full_build(stress_rate):
         state = init_store(cfg.memory, store_dtype=store_dtype)
@@ -288,7 +307,8 @@ def main():
 
     # continuity number: the zero-detection loop (random-weight YOLO on
     # random frames clears conf 0.55 nowhere; r1/r2 headline conditions)
-    fps_zero_det, _, _, _, _ = full_build(stress_rate=0)
+    fps_zero_det, _zstate, _zinst, _, _ = full_build(stress_rate=0)
+    del _zstate, _zinst          # the 6.2GB store must die BEFORE the
     log(f"FULL build (zero-det continuity): {fps_zero_det:.1f} frames/s")
 
     # HEADLINE: detector-stressed build -- ~det_rate detections/frame
@@ -299,12 +319,21 @@ def main():
     # is logged for honesty.
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
     samples = []
+    state = instances = None
     for r in range(repeats):
+        # each pass inits a fresh 6.2GB store; the PREVIOUS pass's
+        # returned store must be released first or two stores are
+        # resident on the 16GB chip for the whole pass (r3's monotonic
+        # 212.8 -> 187.7 -> 175.0 sample decay)
+        del state, instances
         fps_r, state, instances, n_vox_final, dropped = full_build(
             stress_rate=det_rate)
         samples.append(fps_r)
         log(f"  stressed pass {r + 1}/{repeats}: {fps_r:.1f} frames/s")
-    fps = max(samples)
+    # steady-state headline: the MEDIAN pass, not the best (VERDICT r3
+    # item 2 -- a number that only holds on the first pass is not a
+    # steady-state number)
+    fps = float(np.median(samples))
     log(f"FULL build (stressed @{det_rate} det/frame): {n_iters*B} frames"
         f" -> {fps:.1f} frames/s (samples: "
         f"{', '.join(f'{s:.1f}' for s in samples)}), voxels={n_vox_final},"
@@ -362,10 +391,10 @@ def main():
     import gc
     del batches, dev_out, qimgs4, bpos, bscores, yparams, detector
     gc.collect()
-    text_e2e_ms = None
+    text_e2e_ms = prefetch_ms = None
     try:
-        text_e2e_ms = _text_query_phase(cfg, full, state, params,
-                                        vit_cfg, rng)
+        text_e2e_ms, prefetch_ms = _text_query_phase(cfg, full, state,
+                                                     params, vit_cfg, rng)
     except Exception as e:                      # noqa: BLE001
         # the driver contract requires the JSON line no matter what;
         # report the phase failure on stderr and carry null
@@ -384,11 +413,14 @@ def main():
         "query_batch_q4_amortized_ms": round(q4_amortized, 2),
         "text_query_e2e_ms": (round(text_e2e_ms, 1)
                               if text_e2e_ms is not None else None),
+        "text_query_prefetch_residual_ms": (
+            round(prefetch_ms, 1) if prefetch_ms is not None else None),
         "sync_rtt_ms": round(rtt_ms, 2),
         "backend": backend,
         "batch": B,
         "full_arch": bool(full),
         "longterm_instances": len(instances),
+        "startup": dict(STARTUP),
         "baseline_note": ("A100 reference estimated at 10 fps full build "
                           "loop (unrecorded in repo; see BASELINE.md)"),
     }
@@ -401,7 +433,7 @@ def _text_query_phase(cfg, full, state, params, vit_cfg, rng):
     import jax
     import jax.numpy as jnp
 
-    text_e2e_ms = None
+    text_e2e_ms = prefetch_ms = None
     if not os.environ.get("BENCH_SKIP_TEXTQ"):
         import dataclasses
         from bsc_nav_tpu.models import clip as C
@@ -414,13 +446,12 @@ def _text_query_phase(cfg, full, state, params, vit_cfg, rng):
         vcfg = V.SD3_VAE if full else V.VAEConfig(
             latent_channels=mcfg.in_channels, base_channels=32,
             channel_mults=(1, 2), blocks_per_stage=1)
-        # text tower at MetaCLIP ViT-H scale; vision tower shrunk (unused
-        # by the imagination path -- no reason to hold 1.3 GB of it)
-        ccfg = dataclasses.replace(
-            C.METACLIP_VITH14, vision_width=64, vision_layers=1,
-            vision_heads=1) if full else C.CLIP_VITB32_TEST
-        tokzr = T.HashTokenizer(vocab_size=ccfg.vocab_size,
-                                context_length=ccfg.context_length)
+        # the REAL SD3.5 conditioning towers: CLIP-L + CLIP-G (pooled
+        # concat 2048, hidden concat zero-padded to 4096)
+        lcfg = C.SD3_CLIP_L if full else C.SD3_CLIP_L_TEST
+        gcfg = C.SD3_CLIP_G if full else C.SD3_CLIP_G_TEST
+        tokzr = T.HashTokenizer(vocab_size=lcfg.vocab_size,
+                                context_length=lcfg.context_length)
         t0 = time.perf_counter()
         imagination = DiffusionImagination(
             mmdit_params=M.init_params(mcfg, jax.random.PRNGKey(2),
@@ -429,9 +460,12 @@ def _text_query_phase(cfg, full, state, params, vit_cfg, rng):
             vae_params=V.init_params(vcfg, jax.random.PRNGKey(3),
                                      dtype=jnp.bfloat16),
             vae_cfg=vcfg,
-            clip_params=C.init_params(ccfg, jax.random.PRNGKey(4),
-                                      dtype=jnp.bfloat16),
-            clip_cfg=ccfg,
+            clip_l_params=C.init_text_params(lcfg, jax.random.PRNGKey(4),
+                                             dtype=jnp.bfloat16),
+            clip_l_cfg=lcfg,
+            clip_g_params=C.init_text_params(gcfg, jax.random.PRNGKey(5),
+                                             dtype=jnp.bfloat16),
+            clip_g_cfg=gcfg,
             tokenizer=tokzr,
             num_images=3,
             num_steps=28 if full else 4,
@@ -440,7 +474,7 @@ def _text_query_phase(cfg, full, state, params, vit_cfg, rng):
             # restores bf16 for A/Bs
             quantize=os.environ.get("BENCH_MMDIT_INT8", "1") != "0",
         )
-        log(f"imagination init: {time.perf_counter()-t0:.1f}s")
+        _startup("imagination_init", time.perf_counter() - t0)
 
         # fused single-program path (the agent's serving path for str
         # prompts, agents/spatial_memory._voxel_localized_text_fused):
@@ -454,13 +488,13 @@ def _text_query_phase(cfg, full, state, params, vit_cfg, rng):
         def text_query(text):
             p, s, _imgs = tq_step(
                 state, params, imagination.mmdit_params,
-                imagination.vae_params, imagination.clip_params["text"],
+                imagination.vae_params, imagination.text_params,
                 imagination.t5_params, *imagination.prep_inputs(text),
                 imagination.next_key(), top_k=100)
             return float(s[0])
         t0 = time.perf_counter()
         _ = text_query("a red leather sofa in a living room")
-        log(f"text query compile+first: {time.perf_counter()-t0:.1f}s")
+        _startup("text_query", time.perf_counter() - t0)
         tq = []
         for i in range(2):
             t0 = time.perf_counter()
@@ -469,7 +503,31 @@ def _text_query_phase(cfg, full, state, params, vit_cfg, rng):
         text_e2e_ms = float(np.median(tq) * 1000)
         log(f"text query e2e (fused one-program): {text_e2e_ms:.0f} ms "
             f"(SD3.5-class 3x512^2 28 steps + encode + localize)")
-    return text_e2e_ms
+
+        # agent-loop-shaped metric (VERDICT r3 item 5): the robot
+        # PREFETCHES stage-2 at the decision point
+        # (robot._prefetch_working_memory) and syncs after walking the
+        # stage-1 candidates.  Emulate the walk with host sleep ~80% of
+        # e2e and measure the residual blocking sync -- how much of the
+        # query the overlap actually hides on this runtime.
+        def dispatch(text):
+            p, sc, _imgs = tq_step(
+                state, params, imagination.mmdit_params,
+                imagination.vae_params, imagination.text_params,
+                imagination.t5_params, *imagination.prep_inputs(text),
+                imagination.next_key(), top_k=100)
+            return sc
+        blocked = []
+        for i in range(2):
+            sc = dispatch(f"a potted plant on a shelf {i}")
+            time.sleep(text_e2e_ms / 1000 * 0.8)       # stage-1 walk
+            t0 = time.perf_counter()
+            _ = float(sc[0])
+            blocked.append(time.perf_counter() - t0)
+        prefetch_ms = float(np.median(blocked) * 1000)
+        log(f"text query prefetch residual sync after 0.8*e2e host work: "
+            f"{prefetch_ms:.0f} ms (vs {text_e2e_ms:.0f} blocking)")
+    return text_e2e_ms, prefetch_ms
 
 
 if __name__ == "__main__":

@@ -75,6 +75,9 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    help="episode-farming worker count (benchmarks/farm.py:"
                         " strided episode split; one CSV shard per worker)")
     p.add_argument("--worker-id", type=int, default=0)
+    p.add_argument("--int8", default="",
+                   help="comma list of int8-served stages: "
+                        "encoder,clip,llm,diffusion (W8A8, ops/quant.py)")
     p.add_argument("--detector", default="auto",
                    choices=["auto", "clip-patch", "grounding-dino"],
                    help="long-term-memory detector backend on the "
@@ -102,11 +105,23 @@ def fake_config(args) -> Config:
     )
 
 
+def _int8_set(args):
+    return {t.strip() for t in getattr(args, "int8", "").split(",") if t.strip()}
+
+
 def habitat_config(args) -> Config:
     cfg = Config(memory_path=args.memory_root)
-    return cfg.replace(agent=AgentConfig(
-        use_only_working_memory=args.use_only_working_memory,
-        load_single_floor=args.load_single_floor))
+    int8 = _int8_set(args)
+    return cfg.replace(
+        agent=AgentConfig(
+            use_only_working_memory=args.use_only_working_memory,
+            load_single_floor=args.load_single_floor),
+        models=cfg.models.__class__(
+            weights_dir=args.weights_dir,
+            encoder_int8="encoder" in int8,
+            clip_int8="clip" in int8,
+            llm_int8="llm" in int8,
+            diffusion_int8="diffusion" in int8 or not int8))
 
 
 def make_llm(args, bench=None):
@@ -117,7 +132,8 @@ def make_llm(args, bench=None):
         # 165-171 serves it remotely; here it runs on the TPU directly)
         from bsc_nav_tpu.agents.local_vlm import load_local_vlm
         assert args.weights_dir, "--llm local needs --weights-dir"
-        return load_local_vlm(args.weights_dir)
+        return load_local_vlm(args.weights_dir,
+                              quantize="llm" in _int8_set(args))
     import re as _re
 
     def _echo_braced_goal(t):

@@ -50,11 +50,24 @@ class CLIPMatcher:
                 p, C.preprocess(imgs, clip_cfg), clip_cfg))
         self._enc_txt = jax.jit(
             lambda p, ids: C.encode_text(p, ids, clip_cfg))
+        # prompt/label embeddings are reused across every check_around
+        # scan and long-term retrieval in an episode; caching them cuts
+        # the agent loop to ONE device dispatch per scan (the view
+        # embed) instead of text+view (each dispatch ~1 ms + a ~30 ms
+        # value sync through the tunnel, CLAUDE.md)
+        self._text_cache = {}
 
     def _embed_text(self, texts: Sequence[str]) -> np.ndarray:
         import jax.numpy as jnp
-        ids = self._T.tokenize(list(texts), self.tok)
-        return np.asarray(self._enc_txt(self.params, jnp.asarray(ids)))
+        missing = [t for t in texts if t not in self._text_cache]
+        if missing:
+            if len(self._text_cache) > 4096:
+                self._text_cache.clear()
+            ids = self._T.tokenize(missing, self.tok)
+            feats = np.asarray(self._enc_txt(self.params, jnp.asarray(ids)))
+            for t, f in zip(missing, feats):
+                self._text_cache[t] = f
+        return np.stack([self._text_cache[t] for t in texts])
 
     def _embed_views(self, views) -> np.ndarray:
         import jax.numpy as jnp

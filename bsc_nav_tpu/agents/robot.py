@@ -195,6 +195,11 @@ class ObjectNavRobot:
             best, topk, sims = self.memory.voxel_localized(
                 prompts, region_radius=region_radius, curr_grid=curr_grid)
 
+        return self._cluster_and_log(prompts, topk, sims)
+
+    def _cluster_and_log(self, prompts, topk, sims):
+        """Shared working-memory tail: DBSCAN centers + query artifacts
+        (objnav_benchmark.py:477-495, :649-659)."""
         if len(topk) == 0:
             return np.array([np.zeros((0, 3))])
         centers, _, _ = weighted_cluster_centers(
@@ -211,6 +216,35 @@ class ObjectNavRobot:
             self._save_query_artifact(f"best_pos_centers_{tag}.npy",
                                       np.asarray(centers))
         return np.array([centers])
+
+    def _prefetch_working_memory(self, text_prompt: str):
+        """Dispatch stage-2 retrieval (prompt extension + the fused
+        imagination/localize program) WITHOUT waiting: returns a thunk
+        producing working_memory_retrival's result, or None when the
+        async path is unavailable.  Called at the decision point so the
+        device computes the diffusion sampling + store scan WHILE the
+        host walks the stage-1 candidates (VERDICT r3 item 5; the
+        reference runs the stages strictly serially)."""
+        if not isinstance(text_prompt, str):
+            return None
+        dispatch = getattr(self.memory, "voxel_localized_async", None)
+        im = getattr(self.memory, "imagination", None)
+        # cheap eligibility precheck BEFORE the prompt-extension LLM
+        # call (protocol-only imaginations can't be traced into the
+        # fused program; don't pay a network round trip to find out)
+        if dispatch is None or im is None or not hasattr(im, "imagine_core"):
+            return None
+        prompt_ext = L.retry(
+            lambda: L.imagenary_helper(self.client, text_prompt))
+        thunk = dispatch(prompt_ext)
+        if thunk is None:
+            return None
+
+        def finish():
+            best, topk, sims = thunk()
+            return self._cluster_and_log(text_prompt, topk, sims)
+
+        return finish
 
     def _save_query_artifact(self, name: str, arr: np.ndarray) -> None:
         """Best-effort npy dump beside the memory bundle (the reference
@@ -355,16 +389,23 @@ class ObjectNavRobot:
         return self.episode_images
 
     def move2textprompt(self, text_prompt: str):
-        """(objnav_benchmark.py:871-934)."""
+        """(objnav_benchmark.py:871-934).  Stage-2 retrieval is
+        PREFETCHED before stage-1 navigation begins: both device
+        programs (CLIP label match + fused imagination/localize) are in
+        flight off one decision point, and the big program's sync
+        overlaps the stage-1 walk instead of blocking after it."""
         self.curr_obs = self.benchmark_env.sim.get_sensor_observations(0)
         self.task_over = False
+        pending = None
         if not self.memory.cfg.agent.use_only_working_memory:
             best = self.long_term_memory_retrival_v2(text_prompt)
-            if best is not None and self._navigate_candidates(
-                    best, text_prompt):
-                self.nav_log["success"] = 1
-                return self._finish()
-        best = self.working_memory_retrival(text_prompt)
+            if best is not None:
+                pending = self._prefetch_working_memory(text_prompt)
+                if self._navigate_candidates(best, text_prompt):
+                    self.nav_log["success"] = 1
+                    return self._finish()
+        best = (pending() if pending is not None
+                else self.working_memory_retrival(text_prompt))
         if self._navigate_candidates(best, text_prompt):
             self.nav_log["success"] = 1
         return self._finish()

@@ -334,23 +334,52 @@ class VoxelTokenMemory:
                 self.perception.compute_dtype)
         return self._text_query_step
 
+    def voxel_localized_async(self, prompt, K: int = 100,
+                              region_radius: float = np.inf,
+                              curr_grid=None):
+        """Dispatch the fused text query WITHOUT materializing: returns
+        a zero-arg thunk producing voxel_localized's (best, topk, sims)
+        tuple, or None when the fused single-program path is unavailable
+        (non-str prompt, no composable imagination, segmented store).
+
+        JAX dispatch is asynchronous, so the ~seconds of diffusion
+        sampling + store scan run on device while the host keeps
+        stepping the simulator: the agent PREFETCHES stage-2 retrieval
+        at the decision point and overlaps it with stage-1 navigation
+        (the reference pays the two stages serially,
+        objnav_benchmark.py:519-574 then memory_2.py:563-671)."""
+        if not (isinstance(prompt, str)
+                and self.imagination is not None
+                and hasattr(self.imagination, "imagine_core")
+                and not (self.segments is not None
+                         and self.segments.num_segments > 1)):
+            return None
+        self.flush()
+        im = self.imagination
+        ids, ids_u, t5_ids, t5_ids_u = im.prep_inputs(prompt)
+        positions, scores, imgs = self._get_text_query_step()(
+            self.state, self.perception.vit_params,
+            im.mmdit_params, im.vae_params, im.text_params,
+            im.t5_params, ids, ids_u, t5_ids, t5_ids_u, im.next_key(),
+            top_k=K, **self._mask_kwargs(region_radius, curr_grid))
+
+        def finish():
+            # device arrays, unsynced until here: consumers that want
+            # the imagined views (VLM verification, visualization)
+            # materialize lazily
+            self.last_imagined = imgs
+            return self._live_topk(positions, scores)
+
+        return finish
+
     def _voxel_localized_text_fused(self, prompt: str, K: int,
                                     region_radius: float, curr_grid):
         """Single-program text query: imagination + encode + localize
         traced together (memory.pipeline.make_text_query_step) -- no
         decoded-image round trip through the host between the diffusion
         samples and the DINOv2 encode."""
-        im = self.imagination
-        ids, ids_u, t5_ids, t5_ids_u = im.prep_inputs(prompt)
-        positions, scores, imgs = self._get_text_query_step()(
-            self.state, self.perception.vit_params,
-            im.mmdit_params, im.vae_params, im.clip_params["text"],
-            im.t5_params, ids, ids_u, t5_ids, t5_ids_u, im.next_key(),
-            top_k=K, **self._mask_kwargs(region_radius, curr_grid))
-        # device array, unsynced: consumers that want the imagined views
-        # (VLM verification, visualization) materialize lazily
-        self.last_imagined = imgs
-        return self._live_topk(positions, scores)
+        return self.voxel_localized_async(
+            prompt, K, region_radius, curr_grid)()
 
     def voxel_localized(self, prompt, K: int = 100,
                         region_radius: float = np.inf,

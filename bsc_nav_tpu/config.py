@@ -145,6 +145,17 @@ class ModelConfig:
     # > 0.995 and retrieval ranks stable (tests/test_quant.py).  Not
     # composable with tensor-parallel encoder sharding (TP keeps bf16).
     encoder_int8: bool = False
+    # int8 W8A8 on the CLIP matcher towers (clip.quantize_params) and
+    # the local Qwen-VL judge decoder (qwen_vl.quantize_params) — same
+    # scheme, threaded through habitat_env/make_llm (drivers: --int8
+    # clip,llm).  Correctness proven in tests/test_quant.py; enable
+    # after an on-TPU in-context A/B per repo convention.
+    clip_int8: bool = False
+    llm_int8: bool = False
+    # int8 W8A8 on the MMDiT token matmuls (the TPU-native counterpart
+    # of the reference's NF4-quantized SD3.5, memory_2.py:542-560):
+    # measured 116.8 -> 101.1 ms/b6 forward, sampler drift ~5% rel.
+    diffusion_int8: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -377,11 +377,49 @@ def build_habitat_world(args, task: str):
             {k: jnp.asarray(v) for k, v in z.items()})
         tok = T.default_tokenizer(
             os.path.join(wd, "bpe_simple_vocab_16e6.txt.gz"))
-        matcher = CLIPMatcher(cparams, ccfg, tok)
+        matcher = CLIPMatcher(cparams, ccfg, tok,
+                              quantize=cfg.models.clip_int8)
         if detector is None:
             detector = ClipPatchDetector(
                 cparams, ccfg, tok, classes=HM3D_DETECT_CLASSES,
                 confidence=cfg.detector.confidence)
+
+    # SD3.5 "imagination" for text queries (reference memory_2.py:542-560
+    # loads the NF4-quantized pipeline): converted weights under
+    # --weights-dir enable the full triple-encoder stack — sd35_medium /
+    # sd3_vae / sd3_clip_l / sd3_clip_g (.npz), optional t5_xxl.npz +
+    # spiece.model for the T5 stream
+    sd3_npz = wd and os.path.join(wd, "sd35_medium.npz")
+    if sd3_npz and os.path.exists(sd3_npz):
+        from bsc_nav_tpu.models import mmdit as MM
+        from bsc_nav_tpu.models import vae as VV
+        from bsc_nav_tpu.models.imagination import DiffusionImagination
+
+        def _load_npz(name):
+            z = np.load(os.path.join(wd, name))
+            return unflatten_params(
+                {k: jnp.asarray(v, jnp.bfloat16) for k, v in z.items()})
+
+        t5_kw = {}
+        if (os.path.exists(os.path.join(wd, "t5_xxl.npz"))
+                and os.path.exists(os.path.join(wd, "spiece.model"))):
+            from bsc_nav_tpu.models import t5 as T5
+            from bsc_nav_tpu.models.sentencepiece import SentencePieceUnigram
+            t5_kw = dict(
+                t5_params=_load_npz("t5_xxl.npz"), t5_cfg=T5.T5_XXL,
+                t5_tokenizer=SentencePieceUnigram.from_file(
+                    os.path.join(wd, "spiece.model")))
+        imagination = DiffusionImagination(
+            mmdit_params=_load_npz("sd35_medium.npz"),
+            mmdit_cfg=MM.SD35_MEDIUM,
+            vae_params=_load_npz("sd3_vae.npz"), vae_cfg=VV.SD3_VAE,
+            clip_l_params=_load_npz("sd3_clip_l.npz"),
+            clip_l_cfg=C.SD3_CLIP_L,
+            clip_g_params=_load_npz("sd3_clip_g.npz"),
+            clip_g_cfg=C.SD3_CLIP_G,
+            tokenizer=T.default_tokenizer(
+                os.path.join(wd, "bpe_simple_vocab_16e6.txt.gz")),
+            quantize=cfg.models.diffusion_int8, **t5_kw)
 
     memory = VoxelTokenMemory(cfg, env=nav, perception=perception,
                               detector=detector, imagination=imagination,

@@ -60,7 +60,29 @@ CLIP_VITB32_TEST = CLIPConfig(
     vision_layers=2, vision_heads=3, context_length=16, vocab_size=512,
     text_width=64, text_heads=4, text_layers=2)
 
-CONFIGS = {"metaclip_vith14": METACLIP_VITH14}
+# SD3.5's two CLIP text towers (reference memory_2.py:542-560 loads the
+# full StableDiffusion3Pipeline; its conditioning is CLIP-L + CLIP-G
+# pooled-concat 768+1280=2048 and penultimate-hidden concat 768+1280
+# zero-padded to the 4096 joint width, diffusers encode_prompt).  Only
+# the text towers are used; vision fields are irrelevant here.
+# CLIP-L (openai/clip-vit-large-patch14) activates with quick_gelu;
+# CLIP-G (OpenCLIP bigG) uses plain GELU.
+SD3_CLIP_L = CLIPConfig(embed_dim=768, text_width=768, text_heads=12,
+                        text_layers=12, quick_gelu=True)
+SD3_CLIP_G = CLIPConfig(embed_dim=1280, text_width=1280, text_heads=20,
+                        text_layers=32)
+# tiny counterparts for tests: widths mirror the L:G ratio and satisfy
+# MMDIT_TEST's pooled_dim=16 (6+10) / context_dim=32 (8+16, zero-padded)
+SD3_CLIP_L_TEST = CLIPConfig(embed_dim=6, text_width=8, text_heads=2,
+                             text_layers=2, context_length=16,
+                             vocab_size=512, quick_gelu=True)
+SD3_CLIP_G_TEST = CLIPConfig(embed_dim=10, text_width=16, text_heads=2,
+                             text_layers=3, context_length=16,
+                             vocab_size=512)
+
+CONFIGS = {"metaclip_vith14": METACLIP_VITH14,
+           "sd3_clip_l": SD3_CLIP_L,
+           "sd3_clip_g": SD3_CLIP_G}
 
 
 def init_params(cfg: CLIPConfig, key, dtype=jnp.float32) -> Dict[str, Any]:
@@ -114,6 +136,41 @@ def init_params(cfg: CLIPConfig, key, dtype=jnp.float32) -> Dict[str, Any]:
         },
         "logit_scale": jnp.asarray(np.log(1 / 0.07), dtype),
     }
+
+
+def init_text_params(cfg: CLIPConfig, key, dtype=jnp.float32) -> Dict[str, Any]:
+    """Text-tower-only params (the SD3.5 conditioning towers have no
+    vision side in the diffusers checkpoint layout)."""
+    return init_params(cfg, key, dtype)["text"]
+
+
+def encode_text_sd3(text_params: Dict[str, Any], token_ids: jnp.ndarray,
+                    cfg: CLIPConfig) -> tuple:
+    """SD3-style text encoding: returns (penultimate hidden states
+    [B, S, text_width], projected pooled embedding [B, embed_dim]).
+
+    Matches diffusers' `_get_clip_prompt_embeds` (the reference's
+    pipeline, memory_2.py:542-560): the MMDiT context consumes
+    `hidden_states[-2]` — the output of layer N-1, WITHOUT the final
+    layer norm — while the pooled vector runs the full tower (last
+    layer + final LN), gathers the first-EOT token (argmax over ids;
+    EOT has the highest id) and applies the text projection.
+    """
+    t = text_params
+    x = t["token_embedding"][token_ids] + t["pos_embed"][None]
+    x = _tower_forward(x, t["blocks"][:-1], cfg.text_heads, cfg.ln_eps,
+                       causal=True, gelu_exact=cfg.gelu_exact,
+                       quick_gelu=cfg.quick_gelu)
+    penultimate = x
+    x = _tower_forward(x, t["blocks"][-1:], cfg.text_heads, cfg.ln_eps,
+                       causal=True, gelu_exact=cfg.gelu_exact,
+                       quick_gelu=cfg.quick_gelu)
+    x = layer_norm(x, t["ln_final"], cfg.ln_eps)
+    eot = jnp.argmax(token_ids, axis=-1)
+    pooled = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
+    pooled = jnp.einsum("bd,de->be", pooled, t["proj"],
+                        preferred_element_type=jnp.float32)
+    return penultimate, pooled.astype(x.dtype)
 
 
 def quantize_params(params: Dict[str, Any],
@@ -367,4 +424,57 @@ def convert_clip_hf(state_dict: Mapping[str, Any], cfg: CLIPConfig,
             "proj": jnp.asarray(sd["text_projection.weight"].T, dtype),
         },
         "logit_scale": jnp.asarray(sd["logit_scale"], dtype),
+    }
+
+
+def convert_clip_text_hf(state_dict: Mapping[str, Any], cfg: CLIPConfig,
+                         dtype=jnp.float32) -> Dict[str, Any]:
+    """HuggingFace `CLIPTextModelWithProjection` state dict -> text-tower
+    params (the layout SD3.5's text_encoder / text_encoder_2 subfolders
+    ship in; reference loads them via StableDiffusion3Pipeline,
+    memory_2.py:542-560).  Also accepts a full CLIPModel state dict —
+    vision keys are simply ignored."""
+
+    def _t(x):
+        return x.detach().cpu().numpy() if hasattr(x, "detach") else np.asarray(x)
+
+    sd = {k: _t(v) for k, v in state_dict.items()
+          if k.startswith(("text_model.", "text_projection."))}
+
+    def ln(prefix):
+        return {"scale": jnp.asarray(sd[prefix + ".weight"], dtype),
+                "bias": jnp.asarray(sd[prefix + ".bias"], dtype)}
+
+    def lin(prefix):
+        return {"w": jnp.asarray(sd[prefix + ".weight"].T, dtype),
+                "b": jnp.asarray(sd[prefix + ".bias"], dtype)}
+
+    blocks = []
+    for i in range(cfg.text_layers):
+        p = f"text_model.encoder.layers.{i}"
+        qkv_w = np.concatenate(
+            [sd[f"{p}.self_attn.{n}.weight"].T
+             for n in ("q_proj", "k_proj", "v_proj")], axis=1)
+        qkv_b = np.concatenate(
+            [sd[f"{p}.self_attn.{n}.bias"]
+             for n in ("q_proj", "k_proj", "v_proj")])
+        blocks.append({
+            "ln1": ln(f"{p}.layer_norm1"),
+            "qkv": {"w": jnp.asarray(qkv_w, dtype),
+                    "b": jnp.asarray(qkv_b, dtype)},
+            "proj": lin(f"{p}.self_attn.out_proj"),
+            "ln2": ln(f"{p}.layer_norm2"),
+            "fc1": lin(f"{p}.mlp.fc1"),
+            "fc2": lin(f"{p}.mlp.fc2"),
+        })
+    assert f"text_model.encoder.layers.{cfg.text_layers}.layer_norm1.weight" \
+        not in sd, "checkpoint has more layers than cfg.text_layers"
+    return {
+        "token_embedding": jnp.asarray(
+            sd["text_model.embeddings.token_embedding.weight"], dtype),
+        "pos_embed": jnp.asarray(
+            sd["text_model.embeddings.position_embedding.weight"], dtype),
+        "blocks": blocks,
+        "ln_final": ln("text_model.final_layer_norm"),
+        "proj": jnp.asarray(sd["text_projection.weight"].T, dtype),
     }

@@ -2,21 +2,24 @@
 
 Composes the framework's diffusion stack into the `imagine(text) ->
 uint8 images` protocol the spatial memory consumes (reference
-`imaginary`, memory_2.py:258-276: 3 images, 512^2, 28 steps, cfg 7.0):
+`imaginary`, memory_2.py:258-276: 3 images, 512^2, 28 steps, cfg 7.0).
 
-  text --CLIP text tower(s)--> (context tokens, pooled) --MMDiT-->
-  latents --VAE decode--> images
+Conditioning matches the real SD3.5-medium pipeline the reference loads
+(memory_2.py:542-560, diffusers StableDiffusion3Pipeline.encode_prompt):
 
-The reference conditions SD3.5 with CLIP-L + CLIP-G + T5; this pipeline
-is parameterized by whatever text encoders are supplied (our converted
-CLIP towers; a T5 port can be slotted in without touching callers).
+  pooled  = concat(CLIP-L pooled 768, CLIP-G pooled 1280)      -> 2048
+  context = concat(CLIP-L hidden[-2], CLIP-G hidden[-2])        -> 2048
+            zero-padded to the 4096 joint width, then the T5-XXL
+            sequence features appended along the sequence axis
+            (77 CLIP tokens + 256 T5 tokens).
+
 Everything under one jit; bf16 compute.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -36,20 +39,31 @@ class DiffusionImagination:
     mmdit_cfg: M.MMDiTConfig
     vae_params: dict
     vae_cfg: V.VAEConfig
-    clip_params: dict
-    clip_cfg: C.CLIPConfig
+    # the two CLIP text towers (text-only param dicts:
+    # clip.init_text_params / clip.convert_clip_text_hf layouts)
+    clip_l_params: dict
+    clip_l_cfg: C.CLIPConfig
+    clip_g_params: dict
+    clip_g_cfg: C.CLIPConfig
     tokenizer: object
+    # SD3.5 ships two CLIPTokenizers differing only in the pad token
+    # (L pads with <|endoftext|>, G pads with "!" = id 0); one BPE
+    # instance serves both with per-tower pad ids below.
+    tokenizer_g: Optional[object] = None
     num_images: int = 3
     num_steps: int = 28
     guidance_scale: float = 7.0
     seed: int = 0
-    # optional T5 conditioning (SD3.5 concatenates T5-XXL sequence
-    # features after the CLIP context; reference loads T5-XXL at
-    # memory_2.py:49): supply converted T5 params + its tokenizer to
-    # enable; None keeps the CLIP-only context.
+    # optional T5 conditioning (SD3.5 appends T5-XXL sequence features
+    # after the CLIP context; reference loads the full pipeline at
+    # memory_2.py:542-560).  None mimics diffusers' text_encoder_3=None
+    # drop: a zero block of the CLIP context length is appended instead.
     t5_params: Optional[dict] = None
     t5_cfg: Optional[object] = None
     t5_tokenizer: Optional[object] = None
+    # diffusers max_sequence_length (256 default in the reference's
+    # pipeline call; lower trades conditioning detail for MMDiT seq len)
+    t5_seq_len: int = 256
     # int8 W8A8 serving of the MMDiT token matmuls (ops/quant.py) -- the
     # TPU-native counterpart of the reference's NF4-quantized SD3.5
     # (memory_2.py:542-560).  Measured on TPU: full forward 116.8 ->
@@ -59,46 +73,35 @@ class DiffusionImagination:
     def __post_init__(self):
         if self.quantize:
             self.mmdit_params = M.quantize_params(self.mmdit_params)
-        ccfg, mcfg = self.clip_cfg, self.mmdit_cfg
-
-        def encode_text(tparams, ids):
-            # sequence features from the text tower (pre-pool), plus the
-            # pooled embedding; projected/padded into the MMDiT context
-            t = tparams
-            x = t["token_embedding"][ids] + t["pos_embed"][None]
-            x = C._tower_forward(x, t["blocks"], ccfg.text_heads,
-                                 ccfg.ln_eps, causal=True)
-            from bsc_nav_tpu.models.vit import layer_norm
-            x = layer_norm(x, t["ln_final"], ccfg.ln_eps)
-            eot = jnp.argmax(ids, axis=-1)
-            pooled = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
-            # pad/truncate widths into the MMDiT conditioning dims
-            ctx = _fit(x, mcfg.context_dim)
-            pool = _fit(pooled, mcfg.pooled_dim)
-            return ctx, pool
-
-        def _fit(x, dim):
-            d = x.shape[-1]
-            if d == dim:
-                return x
-            if d > dim:
-                return x[..., :dim]
-            pad = [(0, 0)] * (x.ndim - 1) + [(0, dim - d)]
-            return jnp.pad(x, pad)
-
+        if self.tokenizer_g is None:
+            self.tokenizer_g = self.tokenizer
+        lcfg, gcfg, mcfg = self.clip_l_cfg, self.clip_g_cfg, self.mmdit_cfg
+        assert lcfg.embed_dim + gcfg.embed_dim == mcfg.pooled_dim, (
+            "pooled concat width must equal the MMDiT pooled_dim "
+            f"({lcfg.embed_dim}+{gcfg.embed_dim} != {mcfg.pooled_dim})")
+        assert lcfg.text_width + gcfg.text_width <= mcfg.context_dim
+        assert lcfg.context_length == gcfg.context_length
         use_t5 = self.t5_params is not None
 
         def full_context(text_params, t5_params, ids, t5_ids):
-            ctx, pool = encode_text(text_params, ids)
+            # ids: [2, B, context_length] — row 0 tokenized for the L
+            # tower (eot-padded), row 1 for G (zero-padded)
+            hl, pl = C.encode_text_sd3(text_params["l"], ids[0], lcfg)
+            hg, pg = C.encode_text_sd3(text_params["g"], ids[1], gcfg)
+            pooled = jnp.concatenate([pl, pg], axis=-1)
+            clip_ctx = jnp.concatenate([hl, hg], axis=-1)
+            pad = mcfg.context_dim - clip_ctx.shape[-1]
+            clip_ctx = jnp.pad(clip_ctx, [(0, 0), (0, 0), (0, pad)])
             if use_t5:
-                # SD3.5 layout: CLIP context (zero-padded to the joint
-                # width) followed by the T5 sequence features
                 from bsc_nav_tpu.models import t5 as T5
                 t5_ctx = T5.encode(t5_params, t5_ids, self.t5_cfg)
-                ctx = jnp.concatenate(
-                    [ctx, _fit(t5_ctx, mcfg.context_dim).astype(ctx.dtype)],
-                    axis=1)
-            return ctx, pool
+            else:
+                # diffusers zero-block when T5 is dropped (length =
+                # tokenizer_max_length, width = joint dim)
+                t5_ctx = jnp.zeros(clip_ctx.shape, clip_ctx.dtype)
+            ctx = jnp.concatenate(
+                [clip_ctx, t5_ctx.astype(clip_ctx.dtype)], axis=1)
+            return ctx, pooled
 
         # params flow through as jit ARGUMENTS -- closing over them would
         # bake ~5 GB of weights into the executable as constants (slow
@@ -118,6 +121,8 @@ class DiffusionImagination:
             img = V.decode(vae_params, lat, self.vae_cfg)
             return V.to_uint8(img)
 
+        # exposed for parity tests against the diffusers-layout oracle
+        self.encode_conditioning = full_context
         # unjitted core, composable into larger fused programs
         # (memory.pipeline.make_text_query_step traces it together with
         # the DINOv2 encode + store localize: no decoded-image round
@@ -126,13 +131,23 @@ class DiffusionImagination:
         self._run = jax.jit(run)
         self._key = jax.random.PRNGKey(self.seed)
 
+    @property
+    def text_params(self):
+        """The CLIP-tower pytree `imagine_core` consumes as its
+        text_params argument."""
+        return {"l": self.clip_l_params, "g": self.clip_g_params}
+
     def prep_inputs(self, text: str):
         """Host-side tokenization for one prompt: the argument tuple
         `imagine_core` / the fused text-query step consume after the
-        param pytrees (ids, ids_uncond, t5_ids, t5_ids_uncond)."""
-        ids = T.tokenize([text], self.tokenizer)
-        ids_u = T.tokenize([""], self.tokenizer)
-        return (jnp.asarray(ids), jnp.asarray(ids_u),
+        param pytrees (ids, ids_uncond, t5_ids, t5_ids_uncond).
+        ids are stacked [2, B, L]: row 0 for the L tower (pads with
+        <|endoftext|>, diffusers CLIPTokenizer), row 1 for G (pads 0)."""
+        def stack(t):
+            l = T.tokenize([t], self.tokenizer, pad_id=self.tokenizer.eot)
+            g = T.tokenize([t], self.tokenizer_g)
+            return jnp.asarray(np.stack([l, g]))
+        return (stack(text), stack(""),
                 self._t5_ids(text), self._t5_ids(""))
 
     def next_key(self):
@@ -146,7 +161,7 @@ class DiffusionImagination:
         if self.t5_params is None:
             return jnp.zeros((1, 1), jnp.int32)    # unused placeholder
         ids = self.t5_tokenizer.encode(text)
-        L = 77
+        L = self.t5_seq_len
         # HF T5 truncation keeps </s> as the LAST token when the prompt
         # fills the window; pad with 0 otherwise
         ids = (ids[:L - 1] + [1] + [0] * L)[:L]
@@ -154,5 +169,5 @@ class DiffusionImagination:
 
     def __call__(self, text: str) -> np.ndarray:
         return np.asarray(self._run(
-            self.mmdit_params, self.vae_params, self.clip_params["text"],
+            self.mmdit_params, self.vae_params, self.text_params,
             self.t5_params, *self.prep_inputs(text), self.next_key()))

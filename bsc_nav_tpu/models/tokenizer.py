@@ -152,13 +152,15 @@ class HashTokenizer:
 
 
 def tokenize(texts: Union[str, Sequence[str]], tokenizer,
-             context_length: int = None) -> np.ndarray:
-    """texts -> int32 [B, context_length] with <sot> ids <eot> and zero
-    padding (open_clip.tokenize contract)."""
+             context_length: int = None, pad_id: int = 0) -> np.ndarray:
+    """texts -> int32 [B, context_length] with <sot> ids <eot> and
+    `pad_id` padding (open_clip.tokenize pads with 0; SD3.5's CLIP-L
+    tokenizer pads with <|endoftext|> — pass pad_id=tokenizer.eot for
+    that tower.  EOT-argmax pooling finds the FIRST max id either way)."""
     if isinstance(texts, str):
         texts = [texts]
     L = context_length or tokenizer.context_length
-    out = np.zeros((len(texts), L), np.int32)
+    out = np.full((len(texts), L), pad_id, np.int32)
     for i, text in enumerate(texts):
         ids = [tokenizer.sot] + tokenizer.encode(text) + [tokenizer.eot]
         if len(ids) > L:

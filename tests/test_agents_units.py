@@ -395,3 +395,88 @@ def test_device_instances_match_host_path():
     key = lambda d: (d["label"], round(d["confidence"], 5),
                      tuple(d["loc"]))
     assert sorted(map(key, got)) == sorted(map(key, want))
+
+
+def _prefetch_robot(monkeypatch, stage1_succeeds: bool):
+    """Control-flow harness for move2textprompt's stage-2 prefetch
+    (device work mocked; the real dispatch parity is covered by
+    tests/test_text_query_fused.py::test_async_prefetch_matches_blocking)."""
+    calls = {"async": 0, "blocking": 0, "finish": 0}
+
+    class _Im:
+        imagine_core = object()          # fused-path eligibility marker
+
+    class _QueryCfg:
+        cluster_eps = 10.0
+        cluster_min_samples = 2
+
+    class _AgentCfg:
+        use_only_working_memory = False
+
+    class _Cfg:
+        agent = _AgentCfg()
+        query = _QueryCfg()
+
+    class _Mem:
+        imagination = _Im()
+        cfg = _Cfg()
+        memory_save_path = None
+
+        def voxel_localized_async(self, prompt, K=100, **kw):
+            calls["async"] += 1
+            assert prompt.startswith("ENH ")     # extended prompt reached it
+
+            def thunk():
+                calls["finish"] += 1
+                top = np.array([[3, 4, 5], [3, 4, 6], [3, 5, 5]])
+                return top[:1], top, np.array([0.9, 0.8, 0.7])
+            return thunk
+
+        def voxel_localized(self, *a, **kw):
+            calls["blocking"] += 1
+            top = np.array([[3, 4, 5]])
+            return top[:1], top, np.array([0.9])
+
+    class _Sim:
+        def get_sensor_observations(self, _):
+            return {"rgb": np.zeros((4, 4, 3), np.uint8)}
+
+    class _Bench:
+        sim = _Sim()
+
+    r = R.ObjectNavRobot.__new__(R.ObjectNavRobot)
+    r.memory = _Mem()
+    r.benchmark_env = _Bench()
+    r.task_over = False
+    r.nav_log = {"long_memory_query": 0, "working_memory_query": 0,
+                 "search_point": 0, "success": 0}
+    monkeypatch.setattr(R.L, "imagenary_helper",
+                        lambda client, t: "ENH " + t)
+    r.client = None
+    r.long_term_memory_retrival_v2 = lambda prompt: np.array([[1, 2, 3]])
+    stage = {"n": 0}
+
+    def navigate(best, prompt, max_candidates=3):
+        stage["n"] += 1
+        if stage["n"] == 1:              # stage-1 candidates
+            # the stage-2 program must already be IN FLIGHT here
+            assert calls["async"] == 1 and calls["finish"] == 0
+            return stage1_succeeds
+        return True
+    r._navigate_candidates = navigate
+    r._finish = lambda: "done"
+    return r, calls
+
+
+def test_move2textprompt_prefetch_consumed_on_stage1_miss(monkeypatch):
+    r, calls = _prefetch_robot(monkeypatch, stage1_succeeds=False)
+    assert r.move2textprompt("a bed") == "done"
+    # stage 2 used the prefetched result: no second dispatch, no
+    # blocking re-query -- one device program per retrieval stage
+    assert calls == {"async": 1, "blocking": 0, "finish": 1}
+
+
+def test_move2textprompt_prefetch_discarded_on_stage1_hit(monkeypatch):
+    r, calls = _prefetch_robot(monkeypatch, stage1_succeeds=True)
+    assert r.move2textprompt("a bed") == "done"
+    assert calls["finish"] == 0 and calls["blocking"] == 0

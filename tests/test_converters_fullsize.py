@@ -55,3 +55,24 @@ def test_convert_ultralytics_v8x_key_and_shape_coverage():
     # sanity: this really is the x-scale model, not a shrunk one
     n_params = sum(int(np.prod(l.shape)) for _, l in flat_got)
     assert n_params > 60e6, f"v8x should be >60M params, got {n_params/1e6:.1f}M"
+
+
+def test_verify_all_manifest_fabricated_dry_run():
+    """The unattended whole-zoo gate (tools/convert_weights.py
+    verify-all) dry-runs green offline: every manifest entry fabricates
+    a full-size state dict, converts it at real checkpoint dimensions,
+    and matches the recorded leaf/param expectations.  The first machine
+    with network + downloaded weights runs the same command without
+    --fabricate to convert and gate the real zoo (VERDICT r3 item 8)."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "convert_weights.py"),
+         "verify-all", "--fabricate"],
+        capture_output=True, text=True, timeout=900, env=env, cwd=root)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "verify-all OK (10 models" in proc.stdout

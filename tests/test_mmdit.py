@@ -171,8 +171,7 @@ def test_vae_decoder_shapes():
 
 
 def test_imagination_pipeline_end_to_end():
-    ccfg = CL.CLIP_VITB32_TEST
-    clip_params = CL.init_params(ccfg, jax.random.PRNGKey(0))
+    lcfg, gcfg = CL.SD3_CLIP_L_TEST, CL.SD3_CLIP_G_TEST
     imag = DiffusionImagination(
         mmdit_params=M.init_params(CFG, jax.random.PRNGKey(1)),
         mmdit_cfg=CFG,
@@ -186,10 +185,12 @@ def test_imagination_pipeline_end_to_end():
             latent_channels=CFG.in_channels, base_channels=16,
             channel_mults=(1, 2), blocks_per_stage=2, groups=4,
             scaling_factor=1.0, shift_factor=0.0),
-        clip_params=clip_params,
-        clip_cfg=ccfg,
-        tokenizer=T.HashTokenizer(vocab_size=ccfg.vocab_size,
-                                  context_length=ccfg.context_length),
+        clip_l_params=CL.init_text_params(lcfg, jax.random.PRNGKey(0)),
+        clip_l_cfg=lcfg,
+        clip_g_params=CL.init_text_params(gcfg, jax.random.PRNGKey(3)),
+        clip_g_cfg=gcfg,
+        tokenizer=T.HashTokenizer(vocab_size=lcfg.vocab_size,
+                                  context_length=lcfg.context_length),
         num_images=2, num_steps=2)
     out = imag("a red chair")
     assert out.shape == (2, CFG.input_size * 2, CFG.input_size * 2, 3)
@@ -267,7 +268,11 @@ def test_imagination_with_t5_conditioning():
         def encode(self, text):
             return [min(ord(c), 255) for c in text][:32]
 
-    ccfg = CL.CLIP_VITB32_TEST
+    lcfg, gcfg = CL.SD3_CLIP_L_TEST, CL.SD3_CLIP_G_TEST
+    # T5 width must equal the MMDiT joint width (no padding on the T5
+    # stream in SD3.5 -- T5-XXL d_model IS the 4096 joint dim)
+    t5_cfg = T5.T5Config(vocab_size=256, dim=CFG.context_dim, d_kv=8,
+                         heads=4, d_ff=64, layers=2)
     vae_cfg = V.VAE_TEST.__class__(
         latent_channels=CFG.in_channels, base_channels=16,
         channel_mults=(1, 2), blocks_per_stage=2, groups=4,
@@ -277,13 +282,15 @@ def test_imagination_with_t5_conditioning():
         mmdit_cfg=CFG,
         vae_params=V.init_params(vae_cfg, jax.random.PRNGKey(2)),
         vae_cfg=vae_cfg,
-        clip_params=CL.init_params(ccfg, jax.random.PRNGKey(0)),
-        clip_cfg=ccfg,
-        tokenizer=T.HashTokenizer(vocab_size=ccfg.vocab_size,
-                                  context_length=ccfg.context_length),
-        num_images=1, num_steps=2,
-        t5_params=T5.init_params(T5.T5_TEST, jax.random.PRNGKey(3)),
-        t5_cfg=T5.T5_TEST,
+        clip_l_params=CL.init_text_params(lcfg, jax.random.PRNGKey(0)),
+        clip_l_cfg=lcfg,
+        clip_g_params=CL.init_text_params(gcfg, jax.random.PRNGKey(4)),
+        clip_g_cfg=gcfg,
+        tokenizer=T.HashTokenizer(vocab_size=lcfg.vocab_size,
+                                  context_length=lcfg.context_length),
+        num_images=1, num_steps=2, t5_seq_len=12,
+        t5_params=T5.init_params(t5_cfg, jax.random.PRNGKey(3)),
+        t5_cfg=t5_cfg,
         t5_tokenizer=HashT5Tok())
     out = imag("a red chair near the window")
     assert out.shape == (1, CFG.input_size * 2, CFG.input_size * 2, 3)

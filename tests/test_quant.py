@@ -115,7 +115,7 @@ def test_imagination_quantize_flag():
     from bsc_nav_tpu.models import vae as V
     from bsc_nav_tpu.models.imagination import DiffusionImagination
     cfg = M.MMDIT_TEST
-    ccfg = CL.CLIP_VITB32_TEST
+    lcfg, gcfg = CL.SD3_CLIP_L_TEST, CL.SD3_CLIP_G_TEST
     vcfg = V.VAE_TEST.__class__(
         latent_channels=cfg.in_channels, base_channels=16,
         channel_mults=(1, 2), blocks_per_stage=1, groups=4,
@@ -125,10 +125,12 @@ def test_imagination_quantize_flag():
         mmdit_cfg=cfg,
         vae_params=V.init_params(vcfg, jax.random.PRNGKey(2)),
         vae_cfg=vcfg,
-        clip_params=CL.init_params(ccfg, jax.random.PRNGKey(0)),
-        clip_cfg=ccfg,
-        tokenizer=T.HashTokenizer(vocab_size=ccfg.vocab_size,
-                                  context_length=ccfg.context_length),
+        clip_l_params=CL.init_text_params(lcfg, jax.random.PRNGKey(0)),
+        clip_l_cfg=lcfg,
+        clip_g_params=CL.init_text_params(gcfg, jax.random.PRNGKey(3)),
+        clip_g_cfg=gcfg,
+        tokenizer=T.HashTokenizer(vocab_size=lcfg.vocab_size,
+                                  context_length=lcfg.context_length),
         num_images=1, num_steps=2, quantize=True)
     assert "w_q" in imag.mmdit_params["blocks"][0]["x"]["qkv"]
     out = imag("a red chair")

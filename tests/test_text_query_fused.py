@@ -33,20 +33,21 @@ def _cfg():
 
 
 def _make_imagination(seed_base: int = 0):
-    """Tiny but real diffusion stack; two identically-seeded copies let
+    """Tiny but real diffusion stack (SD3.5-shaped triple-encoder
+    conditioning: CLIP-L + CLIP-G); two identically-seeded copies let
     the fused and two-stage paths consume the same key stream."""
-    ccfg = CL.CLIP_VITB32_TEST
     mcfg = M.MMDIT_TEST
     vcfg = V.VAE_TEST.__class__(
         latent_channels=mcfg.in_channels, base_channels=16,
         channel_mults=(1, 2), blocks_per_stage=1, groups=4,
         scaling_factor=1.0, shift_factor=0.0)
-    return DiffusionImaginationFactory(ccfg, mcfg, vcfg, seed_base)
+    return DiffusionImaginationFactory(mcfg, vcfg, seed_base)
 
 
 class DiffusionImaginationFactory:
-    def __init__(self, ccfg, mcfg, vcfg, seed_base):
-        self.ccfg, self.mcfg, self.vcfg = ccfg, mcfg, vcfg
+    def __init__(self, mcfg, vcfg, seed_base):
+        self.mcfg, self.vcfg = mcfg, vcfg
+        self.lcfg, self.gcfg = CL.SD3_CLIP_L_TEST, CL.SD3_CLIP_G_TEST
         self.seed_base = seed_base
 
     def new(self):
@@ -57,10 +58,14 @@ class DiffusionImaginationFactory:
             mmdit_cfg=self.mcfg,
             vae_params=V.init_params(self.vcfg, jax.random.PRNGKey(k + 2)),
             vae_cfg=self.vcfg,
-            clip_params=CL.init_params(self.ccfg, jax.random.PRNGKey(k + 3)),
-            clip_cfg=self.ccfg,
-            tokenizer=T.HashTokenizer(vocab_size=self.ccfg.vocab_size,
-                                      context_length=self.ccfg.context_length),
+            clip_l_params=CL.init_text_params(
+                self.lcfg, jax.random.PRNGKey(k + 3)),
+            clip_l_cfg=self.lcfg,
+            clip_g_params=CL.init_text_params(
+                self.gcfg, jax.random.PRNGKey(k + 4)),
+            clip_g_cfg=self.gcfg,
+            tokenizer=T.HashTokenizer(vocab_size=self.lcfg.vocab_size,
+                                      context_length=self.lcfg.context_length),
             num_images=2, num_steps=2, seed=k + 7)
 
 
@@ -101,7 +106,7 @@ def test_fused_matches_two_stage(built_store):
     tq = make_text_query_step(cfg, VIT_CFG, im_b)
     pos1, sc1, imgs_dev = tq(
         state, params, im_b.mmdit_params, im_b.vae_params,
-        im_b.clip_params["text"], im_b.t5_params,
+        im_b.text_params, im_b.t5_params,
         *im_b.prep_inputs(prompt), im_b.next_key(), top_k=16)
 
     # identical key stream -> identical imagined images (allow off-by-one
@@ -165,3 +170,35 @@ def test_agent_uses_fused_path(built_store):
         d = np.abs(np.asarray(top_r)[:, :2]
                    - np.asarray(top_f[0])[:2]).max(axis=1)
         assert (d * cfg.memory.cell_size <= 2.0 + 1e-6).all()
+
+
+def test_async_prefetch_matches_blocking(built_store):
+    """voxel_localized_async (the agent's stage-2 prefetch,
+    robot._prefetch_working_memory) dispatches without materializing and
+    its thunk returns exactly what the blocking call returns."""
+    cfg, state, params = built_store
+    factory = _make_imagination(seed_base=20)
+    im_a, im_b = factory.new(), factory.new()
+
+    def mem_with(imagination):
+        m = VoxelTokenMemory(
+            cfg, env=None,
+            perception=Perception.create(cfg, vit_cfg=VIT_CFG,
+                                         vit_params=params),
+            imagination=imagination)
+        m.state = state
+        return m
+
+    mem_a, mem_b = mem_with(im_a), mem_with(im_b)
+    thunk = mem_a.voxel_localized_async("a potted plant", K=8)
+    assert thunk is not None          # fused path eligible -> dispatched
+    best_b, top_b, sims_b = mem_b.voxel_localized("a potted plant", K=8)
+    best_a, top_a, sims_a = thunk()   # sync after other host work
+    np.testing.assert_allclose(sims_a, sims_b, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(best_a, best_b)
+    assert mem_a.last_imagined is not None
+
+    # ineligible prompts (image arrays) fall back to None -> the agent
+    # uses the blocking two-stage path
+    img = np.zeros((8, 8, 3), np.uint8)
+    assert mem_a.voxel_localized_async(img) is None

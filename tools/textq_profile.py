@@ -72,9 +72,8 @@ def main():
     vcfg = V.SD3_VAE if full else V.VAEConfig(
         latent_channels=mcfg.in_channels, base_channels=32,
         channel_mults=(1, 2), blocks_per_stage=1)
-    ccfg = dataclasses.replace(
-        C.METACLIP_VITH14, vision_width=64, vision_layers=1,
-        vision_heads=1) if full else C.CLIP_VITB32_TEST
+    lcfg = C.SD3_CLIP_L if full else C.SD3_CLIP_L_TEST
+    gcfg = C.SD3_CLIP_G if full else C.SD3_CLIP_G_TEST
 
     rng = np.random.default_rng(0)
     vparams = vit.init_params(vit_cfg, jax.random.PRNGKey(0),
@@ -82,8 +81,8 @@ def main():
     query_step = make_query_step(cfg, vit_cfg, compute_dtype=jnp.bfloat16)
     state = init_store(cfg.memory, store_dtype=jnp.bfloat16)
 
-    tokzr = T.HashTokenizer(vocab_size=ccfg.vocab_size,
-                            context_length=ccfg.context_length)
+    tokzr = T.HashTokenizer(vocab_size=lcfg.vocab_size,
+                            context_length=lcfg.context_length)
     imagination = DiffusionImagination(
         mmdit_params=M.init_params(mcfg, jax.random.PRNGKey(2),
                                    dtype=jnp.bfloat16),
@@ -91,9 +90,12 @@ def main():
         vae_params=V.init_params(vcfg, jax.random.PRNGKey(3),
                                  dtype=jnp.bfloat16),
         vae_cfg=vcfg,
-        clip_params=C.init_params(ccfg, jax.random.PRNGKey(4),
-                                  dtype=jnp.bfloat16),
-        clip_cfg=ccfg,
+        clip_l_params=C.init_text_params(lcfg, jax.random.PRNGKey(4),
+                                         dtype=jnp.bfloat16),
+        clip_l_cfg=lcfg,
+        clip_g_params=C.init_text_params(gcfg, jax.random.PRNGKey(5),
+                                         dtype=jnp.bfloat16),
+        clip_g_cfg=gcfg,
         tokenizer=tokzr,
         num_images=3,
         num_steps=28 if full else 4,
@@ -116,29 +118,29 @@ def main():
                         pooled_uncond=rep(pool_u))
 
     def imagination_encode(tp, ids):
-        x = tp["token_embedding"][ids] + tp["pos_embed"][None]
-        x = C._tower_forward(x, tp["blocks"], ccfg.text_heads,
-                             ccfg.ln_eps, causal=True)
-        from bsc_nav_tpu.models.vit import layer_norm
-        x = layer_norm(x, tp["ln_final"], ccfg.ln_eps)
-        eot = jnp.argmax(ids, axis=-1)
-        pooled = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
+        # SD3.5 triple-encoder assembly (CLIP-L + CLIP-G; T5 dropped
+        # here, zero block appended -- diffusers text_encoder_3=None)
+        hl, pl = C.encode_text_sd3(tp["l"], ids[0], lcfg)
+        hg, pg = C.encode_text_sd3(tp["g"], ids[1], gcfg)
+        pooled = jnp.concatenate([pl, pg], axis=-1)
+        clip_ctx = jnp.concatenate([hl, hg], axis=-1)
+        pad = mcfg.context_dim - clip_ctx.shape[-1]
+        clip_ctx = jnp.pad(clip_ctx, [(0, 0), (0, 0), (0, pad)])
+        ctx = jnp.concatenate([clip_ctx, jnp.zeros_like(clip_ctx)], axis=1)
+        return ctx, pooled
 
-        def fit(a, dim):
-            d = a.shape[-1]
-            if d >= dim:
-                return a[..., :dim]
-            pad = [(0, 0)] * (a.ndim - 1) + [(0, dim - d)]
-            return jnp.pad(a, pad)
-        return fit(x, mcfg.context_dim), fit(pooled, mcfg.pooled_dim)
+    def stack_ids(text):
+        l = T.tokenize([text], tokzr, pad_id=tokzr.eot)
+        g = T.tokenize([text], tokzr)
+        return jnp.asarray(np.stack([l, g]))
 
-    ids = jnp.asarray(T.tokenize(["a red sofa"], tokzr))
-    ids_u = jnp.asarray(T.tokenize([""], tokzr))
+    ids = stack_ids("a red sofa")
+    ids_u = stack_ids("")
     key = jax.random.PRNGKey(7)
 
     def run_clip_sample():
         lat = clip_sample(imagination.mmdit_params,
-                          imagination.clip_params["text"], ids, ids_u, key)
+                          imagination.text_params, ids, ids_u, key)
         _ = float(lat[0, 0, 0, 0])
         return lat
 
@@ -192,7 +194,7 @@ def main():
     def run_fused():
         pos, scores, _imgs = tq(
             state, vparams, imagination.mmdit_params,
-            imagination.vae_params, imagination.clip_params["text"],
+            imagination.vae_params, imagination.text_params,
             imagination.t5_params, *inputs, imagination.next_key(),
             top_k=100)
         _ = float(scores[0])

@@ -27,7 +27,27 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timed(name, fn, *args, iters=5):
+# nominal single-chip peaks (TPU v5e): the MFU denominator.  The raw
+# MXU probe through this tunnel over-reads (CLAUDE.md notes 403/457
+# "measured" vs the 197/394 datasheet peaks -- timing artifacts), so
+# rows report %-of-DATASHEET-peak, the conservative figure.
+PEAK_BF16 = 197e12
+PEAK_INT8 = 394e12
+
+
+def _analytic_flops(fn, *args):
+    """Per-call FLOPs from XLA's compiled cost analysis (counts every
+    dot/conv multiply-add as 2; int8 MXU ops counted the same)."""
+    try:
+        ca = fn.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None
+    except Exception:                     # noqa: BLE001 (backend-optional)
+        return None
+
+
+def timed(name, fn, *args, iters=5, peak=PEAK_BF16):
     import jax
     t0 = time.perf_counter()
     out = fn(*args)
@@ -37,9 +57,18 @@ def timed(name, fn, *args, iters=5):
     outs = [fn(*args) for _ in range(iters)]
     _ = float(np.asarray(outs[-1]).ravel()[0])
     ms = (time.perf_counter() - t0) / iters * 1000
-    print(f"{name:<34} compile {compile_s:6.1f}s   {ms:8.1f} ms/iter")
-    return {"name": name, "compile_s": round(compile_s, 1),
-            "ms_per_iter": round(ms, 1)}
+    row = {"name": name, "compile_s": round(compile_s, 1),
+           "ms_per_iter": round(ms, 1)}
+    flops = _analytic_flops(fn, *args)
+    mfu = ""
+    if flops:
+        tput = flops / (ms / 1e3)
+        row["tflops_per_s"] = round(tput / 1e12, 1)
+        row["mfu_pct"] = round(tput / peak * 100, 1)
+        mfu = (f"   {row['tflops_per_s']:6.1f} TFLOP/s"
+               f"  MFU {row['mfu_pct']:5.1f}%")
+    print(f"{name:<34} compile {compile_s:6.1f}s   {ms:8.1f} ms/iter{mfu}")
+    return row
 
 
 def main():
@@ -67,7 +96,7 @@ def main():
     rows.append(timed("dinov2_vitl14_reg b32@224", fwd, vparams, img))
     # int8 W8A8 serving row (ops/quant.py; bench's default encoder)
     rows.append(timed("dinov2_vitl14_reg b32 int8 W8A8", fwd,
-                      vit.quantize_params(vparams), img))
+                      vit.quantize_params(vparams), img, peak=PEAK_INT8))
 
     # --- CLIP ViT-H image tower -----------------------------------------
     from bsc_nav_tpu.models import clip as C
@@ -98,7 +127,7 @@ def main():
     # path via DiffusionImagination(quantize=True))
     rows.append(timed("sd3.5-medium mmdit b3 int8 W8A8", mfwd,
                       M.quantize_params(mparams), lat, ctx, pooled,
-                      iters=3))
+                      iters=3, peak=PEAK_INT8))
     del mparams
 
     # --- SD3 VAE decode (text-query imagination shape) ---------------------
