@@ -75,9 +75,11 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    help="episode-farming worker count (benchmarks/farm.py:"
                         " strided episode split; one CSV shard per worker)")
     p.add_argument("--worker-id", type=int, default=0)
-    p.add_argument("--int8", default="",
+    p.add_argument("--int8", default="clip,llm,diffusion",
                    help="comma list of int8-served stages: "
-                        "encoder,clip,llm,diffusion (W8A8, ops/quant.py)")
+                        "encoder,clip,llm,diffusion (W8A8, ops/quant.py; "
+                        "defaults = the stages with measured on-TPU wins, "
+                        "docs/tpu_smoke_r04.json); 'none' disables all")
     p.add_argument("--detector", default="auto",
                    choices=["auto", "clip-patch", "grounding-dino"],
                    help="long-term-memory detector backend on the "
@@ -106,7 +108,10 @@ def fake_config(args) -> Config:
 
 
 def _int8_set(args):
-    return {t.strip() for t in getattr(args, "int8", "").split(",") if t.strip()}
+    raw = getattr(args, "int8", "")
+    if raw.strip() == "none":
+        return set()
+    return {t.strip() for t in raw.split(",") if t.strip()}
 
 
 def habitat_config(args) -> Config:
@@ -121,7 +126,7 @@ def habitat_config(args) -> Config:
             encoder_int8="encoder" in int8,
             clip_int8="clip" in int8,
             llm_int8="llm" in int8,
-            diffusion_int8="diffusion" in int8 or not int8))
+            diffusion_int8="diffusion" in int8))
 
 
 def make_llm(args, bench=None):

@@ -148,10 +148,12 @@ class ModelConfig:
     # int8 W8A8 on the CLIP matcher towers (clip.quantize_params) and
     # the local Qwen-VL judge decoder (qwen_vl.quantize_params) — same
     # scheme, threaded through habitat_env/make_llm (drivers: --int8
-    # clip,llm).  Correctness proven in tests/test_quant.py; enable
-    # after an on-TPU in-context A/B per repo convention.
-    clip_int8: bool = False
-    llm_int8: bool = False
+    # clip,llm).  Correctness in tests/test_quant.py; on-TPU A/B
+    # (tools/tpu_smoke.py r4): CLIP-H image b12 38.4 -> 32.2 ms (1.19x);
+    # Qwen-3B greedy decode 512+64tok 556 -> 309 ms (1.80x — decode is
+    # weight-bandwidth-bound, int8 halves HBM traffic).  Default ON.
+    clip_int8: bool = True
+    llm_int8: bool = True
     # int8 W8A8 on the MMDiT token matmuls (the TPU-native counterpart
     # of the reference's NF4-quantized SD3.5, memory_2.py:542-560):
     # measured 116.8 -> 101.1 ms/b6 forward, sampler drift ~5% rel.

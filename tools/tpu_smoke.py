@@ -107,6 +107,10 @@ def main():
     cfwd = jax.jit(lambda p, x: jnp.sum(
         C.encode_image(p, x, ccfg).astype(jnp.float32)))
     rows.append(timed("metaclip_vith14 image b12@224", cfwd, cparams, cimg))
+    # int8 W8A8 A/B for the CLIP matcher (config.clip_int8; ADVICE r3:
+    # record the on-TPU in-context number before enabling by default)
+    rows.append(timed("metaclip_vith14 image b12 int8 W8A8", cfwd,
+                      C.quantize_params(cparams), cimg, peak=PEAK_INT8))
 
     # --- SD3.5-medium MMDiT single step ----------------------------------
     from bsc_nav_tpu.models import mmdit as M
@@ -173,6 +177,10 @@ def main():
     rows.append(timed("grounding-dino-tiny b1@800 (21 classes)", gfwd,
                       gparams, gimg, iters=3))
 
+    # Qwen-3B bf16 (7.6 GB) + its int8 copy must coexist during
+    # quantize_params; free every other model first (16 GB chip)
+    del cparams, yparams, gparams
+
     # --- Qwen2.5-VL 3B (local judge: vision tower + text forward) --------
     from bsc_nav_tpu.models import qwen_vl as Q
     qcfg = Q.QWEN25_VL_3B
@@ -197,6 +205,25 @@ def main():
         p, e, pos, qcfg.text).astype(jnp.float32)))
     rows.append(timed("qwen2.5-vl-3b text fwd S=512", qt, qparams, emb,
                       iters=3))
+
+    # --- Qwen greedy DECODE path (the judge's serving loop): prefill
+    # S=512 + 64-token KV-cache while_loop, bf16 vs int8 W8A8 (the A/B
+    # behind config.llm_int8; decode is weight-bandwidth-bound so int8's
+    # halved HBM traffic is the expected win) -------------------------------
+    gen = Q.make_greedy_generator(qcfg.text, max_len=S, max_new=64,
+                                  eos_id=-1)   # -1: always decode 64
+    gemb = jax.random.normal(jax.random.PRNGKey(16),
+                             (1, S, qcfg.text.hidden), jnp.bfloat16)
+    gpos = jnp.broadcast_to(jnp.arange(S)[None, None], (3, 1, S))
+    gfn = lambda p, e: gen(p, e, jnp.asarray(S, jnp.int32), gpos,
+                           jnp.asarray(S, jnp.int32))[0]
+    rows.append(timed("qwen2.5-vl-3b decode 512+64tok", gfn, qparams,
+                      gemb, iters=3))
+    qparams_i8 = Q.quantize_params(qparams)
+    del qparams
+    rows.append(timed("qwen2.5-vl-3b decode 512+64tok int8", gfn,
+                      qparams_i8, gemb, iters=3, peak=PEAK_INT8))
+    del qparams_i8
 
     results["models"] = rows
     here = os.path.dirname(os.path.abspath(__file__))
