@@ -17,6 +17,19 @@ of growth is a whole capacity-bounded store SEGMENT:
 This trades query latency (one extra pass per spilled segment) for
 unbounded scene size, exactly like the reference's disk-backed scan but
 batched and device-side.
+
+Measured policy (tools/segments_bench.py, TPU v5e behind the axon
+tunnel, r4): a device-resident frozen segment adds ~63 ms/query; a
+HOST-SPILLED segment adds ~41 s/query and ~80 s at spill time, because
+the tunnel moves 0.03-0.04 GB/s (a direct-attached host's multi-GB/s
+DMA would make the same spill ~100-500 ms).  Frozen segments are
+therefore quantized to int8 ON DEVICE at rotation by default
+(freeze_dtype="int8"): cosine stays exact over the quantized rows (the
+per-row scale cancels; feat_norm becomes the int8-row norm, same
+convention as the int8 active store, memory/ingest.py:352-362), HBM per
+frozen segment halves, and spill — when it does happen — moves half the
+bytes.  Spill remains the unbounded-scene escape hatch, not the fast
+path.
 """
 
 from __future__ import annotations
@@ -30,6 +43,26 @@ import jax.numpy as jnp
 from bsc_nav_tpu.config import MemoryConfig
 from bsc_nav_tpu.memory import query as Q
 from bsc_nav_tpu.memory.store import VoxelStoreState, init_store
+
+
+@jax.jit
+def _quantize_rows(feats: jnp.ndarray, feat_norm: jnp.ndarray):
+    """[VK, D] float rows -> (int8 rows, int8-row norms, scales).
+
+    Per-row symmetric absmax int8 (memory/ingest.py:352-362 convention):
+    cosine over the QUANTIZED rows is exact because the per-row scale
+    cancels, so feat_norm must hold the int8-row norm.  Elementwise
+    round/clip/cast fuses into one HBM pass; no f32 copy materializes."""
+    f = feats.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(f), axis=-1)
+    scale = jnp.maximum(absmax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(f / scale[:, None]), -127, 127)
+    qi = q.astype(jnp.int8)
+    norm = jnp.sqrt(jnp.sum(q * q, axis=-1))
+    # rows never written keep norm 0 (masked_norms drops by count; the
+    # guard keeps exports/debug views clean)
+    norm = jnp.where(feat_norm > 0, norm, 0.0)
+    return qi, norm.astype(jnp.float32), scale.astype(jnp.float32)
 
 
 def _freeze(state: VoxelStoreState) -> dict:
@@ -54,12 +87,17 @@ class SegmentedStore:
     """
 
     def __init__(self, cfg: MemoryConfig, store_dtype=jnp.float32,
-                 max_device_segments: int = 1,
-                 rotate_at: float = 0.95):
+                 max_device_segments: int = 2,
+                 rotate_at: float = 0.95,
+                 freeze_dtype="int8"):
         self.cfg = cfg
         self.store_dtype = store_dtype
         self.max_device_segments = max_device_segments
         self.rotate_threshold = int(cfg.voxel_capacity * rotate_at)
+        # "int8": quantize frozen segments on device (half HBM + half
+        # spill bytes, cosine exact over quantized rows — the measured
+        # TPU policy, module docstring); None: freeze in store_dtype
+        self.freeze_dtype = freeze_dtype
         self.state = init_store(cfg, store_dtype=store_dtype)
         self.device_segments: List[VoxelStoreState] = []
         self.host_segments: List[dict] = []
@@ -80,6 +118,12 @@ class SegmentedStore:
         if int(self.state.num_voxels) < self.rotate_threshold:
             return False
         frozen = self.state
+        if (self.freeze_dtype == "int8"
+                and frozen.feats.dtype != jnp.int8):
+            qi, qnorm, qscale = _quantize_rows(frozen.feats,
+                                               frozen.feat_norm)
+            frozen = frozen.replace(feats=qi, feat_norm=qnorm,
+                                    feat_scale=qscale)
         fresh = init_store(self.cfg, store_dtype=self.store_dtype)
         # continuity: same allocentric frame, accumulated top-down maps
         self.state = fresh.replace(

@@ -89,6 +89,61 @@ def test_cross_segment_query_merges_and_dedups(rng):
     assert score[1] < score[0]
 
 
+def test_int8_freeze_matches_float(rng):
+    """freeze_dtype='int8' (the measured TPU default): frozen segments
+    hold int8 rows + int8-row norms; query positions match the
+    unquantized freeze and scores agree within int8 rounding, both for
+    device-resident and host-spilled segments."""
+    cfg = tiny_cfg()
+    key = jax.random.PRNGKey(0)
+    results = {}
+    for freeze_dtype, max_dev in (
+            (None, 1), ("int8", 1), ("int8", 0)):
+        seg = SegmentedStore(cfg.memory, max_device_segments=max_dev,
+                             freeze_dtype=freeze_dtype)
+        k = key
+        for b in range(4):
+            rgb, depth, poses, tokens = make_frames(cfg, 1, seed=b)
+            poses[:, :3] = b * 1.2
+            k, sub = jax.random.split(k)
+            state, _ = ing.ingest_frames(
+                seg.state, jnp.asarray(rgb), jnp.asarray(depth),
+                jnp.asarray(poses), jnp.asarray(tokens), sub, cfg)
+            seg.state = state
+            seg.rotate_if_full()
+        assert seg.num_segments >= 2
+        if freeze_dtype == "int8":
+            frozen = (seg.device_segments if max_dev else
+                      [])
+            for s in frozen:
+                assert s.feats.dtype == jnp.int8
+                n = int(s.num_voxels) * (s.feats.shape[0]
+                                         // s.feat_count.shape[0])
+                got = np.asarray(s.feat_norm[:n])
+                want = np.linalg.norm(
+                    np.asarray(s.feats[:n], np.float32), axis=-1)
+                np.testing.assert_allclose(got, want, rtol=1e-5)
+            for h in seg.host_segments:
+                assert h["feats"].dtype == np.int8
+        # query along a token INGESTED INTO A FROZEN SEGMENT (batch 0):
+        # its voxel is an unambiguous cosine~1 top-1 in every variant
+        # (random-token runner-up scores are too close together to pin
+        # rank order under int8 rounding)
+        _, _, _, tokens0 = make_frames(cfg, 1, seed=0)
+        q = tokens0.reshape(-1, cfg.memory.token_dim)[0].astype(
+            np.float32)
+        q /= np.linalg.norm(q)
+        pos, score = seg.localize(jnp.asarray(q), top_k=8)
+        results[(freeze_dtype, max_dev)] = (pos, score)
+
+    pos_f, score_f = results[(None, 1)]
+    assert score_f[0] > 0.99
+    for key2 in (("int8", 1), ("int8", 0)):
+        pos_q, score_q = results[key2]
+        np.testing.assert_array_equal(pos_q[0], pos_f[0])
+        np.testing.assert_allclose(score_q[0], score_f[0], atol=2e-2)
+
+
 def test_agent_with_segmented_memory():
     """VoxelTokenMemory(segmented=True): build across rotations, query
     merges all segments."""

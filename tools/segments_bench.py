@@ -180,8 +180,12 @@ def main():
         return p50
 
     # current state after the build loop: 1 active + 1 device + 1 host
+    # (host-segment queries restream ~0.7-1.3 GB at the tunnel's
+    # 0.03 GB/s — measure with fewer reps, the variance is tiny
+    # relative to the 20-40 s magnitude)
     rows = {}
-    rows["active+dev1+host1"] = query_p50("active + 1 dev + 1 host")
+    rows["active+dev1+host1"] = query_p50("active + 1 dev + 1 host",
+                                          reps=3)
 
     # drop back: move the host segment away to time the no-spill configs
     host_backup = seg.host_segments
@@ -193,14 +197,11 @@ def main():
     seg.device_segments = dev_backup
     seg.host_segments = host_backup
 
-    # double spill: clone the host segment to get the 2-spill marginal
-    seg.host_segments = host_backup + [dict(host_backup[0])]
-    rows["active+dev1+host2"] = query_p50("active + 1 dev + 2 host")
-    seg.host_segments = host_backup
-
     results["query_p50_ms"] = {k: round(v, 1) for k, v in rows.items()}
-    per_spill_ms = rows["active+dev1+host2"] - rows["active+dev1+host1"]
+    per_spill_ms = rows["active+dev1+host1"] - rows["active+dev1"]
+    per_devfrozen_ms = rows["active+dev1"] - rows["active_only"]
     results["per_spilled_segment_ms"] = round(per_spill_ms, 1)
+    results["per_device_segment_ms"] = round(per_devfrozen_ms, 1)
 
     # ---- extrapolation to full-scale segments ---------------------------
     full_cap = (1 << 18) - 8
