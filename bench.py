@@ -79,10 +79,8 @@ def main():
 
     # persistent compile cache: the big pipelines take minutes to compile
     # cold; cached runs start in seconds
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("JAX_CACHE_DIR",
-                                     "/tmp/bsc_nav_jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    from bsc_nav_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
 
     from bsc_nav_tpu import geometry as G
     from bsc_nav_tpu.config import Config, MemoryConfig
@@ -117,24 +115,29 @@ def main():
     H, W = cfg.sensor.height, cfg.sensor.width
     rng = np.random.default_rng(0)
 
-    params = vit.init_params(vit_cfg, jax.random.PRNGKey(0),
-                             dtype=jnp.bfloat16)
     # int8 W8A8 encoder serving (vit.quantize_params): ViT-L 38.8 ->
     # 30.8 ms/b32 isolated; BENCH_VIT_INT8=0 restores bf16 for A/Bs
+    # jit_init: init+quantize in ONE cached program (eager per-leaf
+    # init pays ~1 ms dispatch/leaf through the tunnel)
+    from bsc_nav_tpu.utils.compile_cache import jit_init
     vit_int8 = os.environ.get("BENCH_VIT_INT8", "1") != "0"
-    if vit_int8:
-        params = vit.quantize_params(params)
+    params = jit_init(
+        lambda k: vit.init_params(vit_cfg, k, dtype=jnp.bfloat16),
+        jax.random.PRNGKey(0),
+        vit.quantize_params if vit_int8 else None)
     build_step = make_build_step(cfg, vit_cfg, compute_dtype=jnp.bfloat16)
     query_step = make_query_step(cfg, vit_cfg, compute_dtype=jnp.bfloat16)
 
     # ---- detector: YOLO-World v8x @640, device decode + top-k ----------
     ycfg = Y.YOLOV8X_WORLDV2 if full else Y.YOLO_TEST
-    yparams = Y.init_params(ycfg, jax.random.PRNGKey(1),
-                            dtype=jnp.bfloat16, text_dim=ycfg.embed_dim)
     # int8 W8A8 on the PAN neck + head (backbone stays bf16 -- measured
     # slower quantized); BENCH_YOLO_INT8=0 restores full bf16
-    if os.environ.get("BENCH_YOLO_INT8", "1") != "0":
-        yparams = Y.quantize_params(yparams)        # scope="neck"
+    yparams = jit_init(
+        lambda k: Y.init_params(ycfg, k, dtype=jnp.bfloat16,
+                                text_dim=ycfg.embed_dim),
+        jax.random.PRNGKey(1),
+        Y.quantize_params                           # scope="neck"
+        if os.environ.get("BENCH_YOLO_INT8", "1") != "0" else None)
     temb = rng.normal(size=(len(DETECT_CLASSES), ycfg.embed_dim))
     temb = (temb / np.linalg.norm(temb, axis=-1, keepdims=True)
             ).astype(np.float32)
@@ -268,6 +271,20 @@ def main():
         _startup("lt_scan", time.perf_counter() - t0)
 
     if os.environ.get("BENCH_STARTUP_ONLY"):
+        # the agent session's real warmup also pays the text-query
+        # path (imagination param init + fused-program compile or
+        # persistent-cache reload); free the detector stream first
+        # exactly like the normal text phase does (16 GB chip)
+        import gc
+        del batches, dev_out, yparams, detector
+        gc.collect()
+        try:
+            state = init_store(cfg.memory, store_dtype=store_dtype)
+            _text_query_phase(cfg, full, state, params, vit_cfg, rng,
+                              startup_only=True)
+        except Exception as e:                  # noqa: BLE001
+            log(f"startup text-query phase FAILED: "
+                f"{type(e).__name__}: {e}")
         print(json.dumps({"metric": "startup_seconds",
                           "value": round(sum(STARTUP.values()), 1),
                           "unit": "s", "vs_baseline": None,
@@ -427,7 +444,8 @@ def main():
     print(json.dumps(out))
 
 
-def _text_query_phase(cfg, full, state, params, vit_cfg, rng):
+def _text_query_phase(cfg, full, state, params, vit_cfg, rng,
+                      startup_only=False):
     import time
     import numpy as np
     import jax
@@ -453,26 +471,40 @@ def _text_query_phase(cfg, full, state, params, vit_cfg, rng):
         tokzr = T.HashTokenizer(vocab_size=lcfg.vocab_size,
                                 context_length=lcfg.context_length)
         t0 = time.perf_counter()
+        # jit_init: each model's init (+ the MMDiT int8 quantize) runs
+        # as ONE cached program -- eager init of the 2.45B MMDiT alone
+        # measured 130 s through the tunnel vs 37 s jitted cold / ~5 s
+        # warm.  int8 W8A8 MMDiT serving matches the reference's NF4-
+        # quantized SD3.5 (memory_2.py:542-560); BENCH_MMDIT_INT8=0
+        # restores bf16 for A/Bs.
+        from bsc_nav_tpu.utils.compile_cache import jit_init
+        mmdit_int8 = os.environ.get("BENCH_MMDIT_INT8", "1") != "0"
         imagination = DiffusionImagination(
-            mmdit_params=M.init_params(mcfg, jax.random.PRNGKey(2),
-                                       dtype=jnp.bfloat16),
+            mmdit_params=jit_init(
+                lambda k: M.init_params(mcfg, k, dtype=jnp.bfloat16),
+                jax.random.PRNGKey(2),
+                M.quantize_params if mmdit_int8 else None),
             mmdit_cfg=mcfg,
-            vae_params=V.init_params(vcfg, jax.random.PRNGKey(3),
-                                     dtype=jnp.bfloat16),
+            vae_params=jit_init(
+                lambda k: V.init_params(vcfg, k, dtype=jnp.bfloat16),
+                jax.random.PRNGKey(3)),
             vae_cfg=vcfg,
-            clip_l_params=C.init_text_params(lcfg, jax.random.PRNGKey(4),
+            clip_l_params=jit_init(
+                lambda k: C.init_text_params(lcfg, k,
                                              dtype=jnp.bfloat16),
+                jax.random.PRNGKey(4)),
             clip_l_cfg=lcfg,
-            clip_g_params=C.init_text_params(gcfg, jax.random.PRNGKey(5),
+            clip_g_params=jit_init(
+                lambda k: C.init_text_params(gcfg, k,
                                              dtype=jnp.bfloat16),
+                jax.random.PRNGKey(5)),
             clip_g_cfg=gcfg,
             tokenizer=tokzr,
             num_images=3,
             num_steps=28 if full else 4,
-            # int8 W8A8 MMDiT serving (the reference ships SD3.5
-            # NF4-quantized, memory_2.py:542-560); BENCH_MMDIT_INT8=0
-            # restores bf16 for A/Bs
-            quantize=os.environ.get("BENCH_MMDIT_INT8", "1") != "0",
+            # pre-quantized above inside jit_init; the quantized linear
+            # dispatch is data-driven (w_q leaves), not flag-driven
+            quantize=False,
         )
         _startup("imagination_init", time.perf_counter() - t0)
 
@@ -495,6 +527,8 @@ def _text_query_phase(cfg, full, state, params, vit_cfg, rng):
         t0 = time.perf_counter()
         _ = text_query("a red leather sofa in a living room")
         _startup("text_query", time.perf_counter() - t0)
+        if startup_only:
+            return None, None
         tq = []
         for i in range(2):
             t0 = time.perf_counter()

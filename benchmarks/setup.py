@@ -229,6 +229,11 @@ def build_world(args, task: str = "objnav"
                 ) -> Tuple[Config, object, VoxelTokenMemory, dict]:
     """Returns (cfg, bench_env, memory, extras) with extras carrying the
     llm client / matcher / imagination for robot construction."""
+    # persistent compile cache for every driver/demo session (pallas-
+    # location-stable keys — see utils/compile_cache.py; without it an
+    # agent session repays ~5 min of compiles after ANY source edit)
+    from bsc_nav_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     if args.env == "habitat":
         from bsc_nav_tpu.env.habitat_env import build_habitat_world
         return build_habitat_world(args, task)

@@ -42,10 +42,8 @@ def timed(name, fn, *args, iters=8, flops=None):
 def main():
     import jax
     import jax.numpy as jnp
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("JAX_CACHE_DIR",
-                                     "/tmp/bsc_nav_jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    from bsc_nav_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     from bsc_nav_tpu.ops.conv2d import conv3x3_s1
 
     print("devices:", jax.devices(), flush=True)

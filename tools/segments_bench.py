@@ -64,10 +64,8 @@ def main():
 
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("JAX_CACHE_DIR",
-                                     "/tmp/bsc_nav_jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    from bsc_nav_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
 
     from bsc_nav_tpu.config import Config, MemoryConfig
     from bsc_nav_tpu.memory.pipeline import make_build_step
@@ -98,8 +96,10 @@ def main():
     vit_cfg = vit.DINOV2_VITL14_REG if not tiny else vit.ViTConfig(
         img_size=224, patch_size=14, dim=256, depth=2, heads=4,
         num_registers=4)
-    params = vit.quantize_params(vit.init_params(
-        vit_cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16))
+    from bsc_nav_tpu.utils.compile_cache import jit_init
+    params = jit_init(
+        lambda k: vit.init_params(vit_cfg, k, dtype=jnp.bfloat16),
+        jax.random.PRNGKey(0), vit.quantize_params)
     build_step = make_build_step(cfg, vit_cfg, compute_dtype=jnp.bfloat16)
 
     H, W = cfg.sensor.height, cfg.sensor.width

@@ -77,10 +77,9 @@ def main():
 
     # persistent compile cache (same dir as bench.py): unchanged rows
     # reload in seconds instead of recompiling cold (ViT-L ~267 s)
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("JAX_CACHE_DIR",
-                                     "/tmp/bsc_nav_jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    from bsc_nav_tpu.utils.compile_cache import (
+        enable_persistent_cache, jit_init)
+    enable_persistent_cache()
 
     results = {"devices": str(jax.devices())}
     rows = []
@@ -88,7 +87,8 @@ def main():
     # --- DINOv2 ViT-L encoder -------------------------------------------
     from bsc_nav_tpu.models import vit
     vcfg = vit.DINOV2_VITL14_REG
-    vparams = vit.init_params(vcfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    vparams = jit_init(lambda k: vit.init_params(
+        vcfg, k, dtype=jnp.bfloat16), jax.random.PRNGKey(0))
     img = jax.random.normal(jax.random.PRNGKey(1), (32, 224, 224, 3),
                             jnp.bfloat16)
     fwd = jax.jit(lambda p, x: jnp.sum(vit.forward_features(
@@ -96,12 +96,14 @@ def main():
     rows.append(timed("dinov2_vitl14_reg b32@224", fwd, vparams, img))
     # int8 W8A8 serving row (ops/quant.py; bench's default encoder)
     rows.append(timed("dinov2_vitl14_reg b32 int8 W8A8", fwd,
-                      vit.quantize_params(vparams), img, peak=PEAK_INT8))
+                      jax.jit(vit.quantize_params)(vparams), img,
+                      peak=PEAK_INT8))
 
     # --- CLIP ViT-H image tower -----------------------------------------
     from bsc_nav_tpu.models import clip as C
     ccfg = C.METACLIP_VITH14
-    cparams = C.init_params(ccfg, jax.random.PRNGKey(2), dtype=jnp.bfloat16)
+    cparams = jit_init(lambda k: C.init_params(
+        ccfg, k, dtype=jnp.bfloat16), jax.random.PRNGKey(2))
     cimg = jax.random.normal(jax.random.PRNGKey(3), (12, 224, 224, 3),
                              jnp.bfloat16)
     cfwd = jax.jit(lambda p, x: jnp.sum(
@@ -110,12 +112,14 @@ def main():
     # int8 W8A8 A/B for the CLIP matcher (config.clip_int8; ADVICE r3:
     # record the on-TPU in-context number before enabling by default)
     rows.append(timed("metaclip_vith14 image b12 int8 W8A8", cfwd,
-                      C.quantize_params(cparams), cimg, peak=PEAK_INT8))
+                      jax.jit(C.quantize_params)(cparams), cimg,
+                      peak=PEAK_INT8))
 
     # --- SD3.5-medium MMDiT single step ----------------------------------
     from bsc_nav_tpu.models import mmdit as M
     mcfg = M.SD35_MEDIUM
-    mparams = M.init_params(mcfg, jax.random.PRNGKey(4), dtype=jnp.bfloat16)
+    mparams = jit_init(lambda k: M.init_params(
+        mcfg, k, dtype=jnp.bfloat16), jax.random.PRNGKey(4))
     lat = jax.random.normal(jax.random.PRNGKey(5),
                             (3, mcfg.input_size, mcfg.input_size,
                              mcfg.in_channels), jnp.bfloat16)
@@ -130,14 +134,15 @@ def main():
     # int8 W8A8 serving row (ops/quant.py; bench's default text-query
     # path via DiffusionImagination(quantize=True))
     rows.append(timed("sd3.5-medium mmdit b3 int8 W8A8", mfwd,
-                      M.quantize_params(mparams), lat, ctx, pooled,
-                      iters=3, peak=PEAK_INT8))
+                      jax.jit(M.quantize_params)(mparams), lat, ctx,
+                      pooled, iters=3, peak=PEAK_INT8))
     del mparams
 
     # --- SD3 VAE decode (text-query imagination shape) ---------------------
     from bsc_nav_tpu.models import vae as V
     vcfg = V.SD3_VAE
-    vparams = V.init_params(vcfg, jax.random.PRNGKey(11), dtype=jnp.bfloat16)
+    vparams = jit_init(lambda k: V.init_params(
+        vcfg, k, dtype=jnp.bfloat16), jax.random.PRNGKey(11))
     vlat = jax.random.normal(jax.random.PRNGKey(12),
                              (3, 64, 64, vcfg.latent_channels), jnp.bfloat16)
     vdec = jax.jit(lambda p, z: jnp.sum(
@@ -149,8 +154,9 @@ def main():
     # --- YOLOv8x-World @640 ----------------------------------------------
     from bsc_nav_tpu.models import yolo_world as Y
     ycfg = Y.YOLOV8X_WORLDV2
-    yparams = Y.init_params(ycfg, jax.random.PRNGKey(8), dtype=jnp.bfloat16,
-                            text_dim=512)
+    yparams = jit_init(lambda k: Y.init_params(
+        ycfg, k, dtype=jnp.bfloat16, text_dim=512),
+        jax.random.PRNGKey(8))
     yimg = jax.random.uniform(jax.random.PRNGKey(9), (4, 640, 640, 3),
                               jnp.bfloat16)
     ytxt = jax.random.normal(jax.random.PRNGKey(10), (21, 512), jnp.bfloat16)
@@ -162,8 +168,8 @@ def main():
     import numpy as np
     from bsc_nav_tpu.models import grounding_dino as G
     gcfg = G.GROUNDING_DINO_TINY
-    gparams = G.init_params(gcfg, jax.random.PRNGKey(11),
-                            dtype=jnp.bfloat16)
+    gparams = jit_init(lambda k: G.init_params(
+        gcfg, k, dtype=jnp.bfloat16), jax.random.PRNGKey(11))
     gimg = jax.random.uniform(jax.random.PRNGKey(12), (1, 800, 800, 3),
                               jnp.bfloat16)
     ids = np.array([[101] + sum(([7 + i, 1012] for i in range(21)), [])
@@ -184,8 +190,8 @@ def main():
     # --- Qwen2.5-VL 3B (local judge: vision tower + text forward) --------
     from bsc_nav_tpu.models import qwen_vl as Q
     qcfg = Q.QWEN25_VL_3B
-    qparams = Q.init_params(qcfg, jax.random.PRNGKey(13),
-                            dtype=jnp.bfloat16)
+    qparams = jit_init(lambda k: Q.init_params(
+        qcfg, k, dtype=jnp.bfloat16), jax.random.PRNGKey(13))
     # one 448x448 image -> 32x32 patch grid (HF pixel_values layout)
     grid = (1, 32, 32)
     vpatches = jax.random.normal(
@@ -219,7 +225,7 @@ def main():
                            jnp.asarray(S, jnp.int32))[0]
     rows.append(timed("qwen2.5-vl-3b decode 512+64tok", gfn, qparams,
                       gemb, iters=3))
-    qparams_i8 = Q.quantize_params(qparams)
+    qparams_i8 = jax.jit(Q.quantize_params)(qparams)
     del qparams
     rows.append(timed("qwen2.5-vl-3b decode 512+64tok int8", gfn,
                       qparams_i8, gemb, iters=3, peak=PEAK_INT8))

@@ -26,10 +26,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("JAX_CACHE_DIR",
-                                     "/tmp/bsc_nav_jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    from bsc_nav_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
 
     from bsc_nav_tpu.models import vae as V
 
