@@ -405,8 +405,19 @@ def build_habitat_world(args, task: str):
                 and os.path.exists(os.path.join(wd, "spiece.model"))):
             from bsc_nav_tpu.models import t5 as T5
             from bsc_nav_tpu.models.sentencepiece import SentencePieceUnigram
+            if cfg.models.diffusion_int8:
+                # T5-XXL follows the MMDiT int8 knob: quantize on HOST
+                # then upload ~4.8 GB int8 instead of 9.4 GB bf16 (the
+                # tunnel moves bulk data at 0.03-0.04 GB/s) so the full
+                # triple-encoder conditioning fits next to the store
+                z = np.load(os.path.join(wd, "t5_xxl.npz"))
+                t5_params = jax.tree.map(
+                    jnp.asarray,
+                    T5.quantize_params_host(unflatten_params(dict(z))))
+            else:
+                t5_params = _load_npz("t5_xxl.npz")
             t5_kw = dict(
-                t5_params=_load_npz("t5_xxl.npz"), t5_cfg=T5.T5_XXL,
+                t5_params=t5_params, t5_cfg=T5.T5_XXL,
                 t5_tokenizer=SentencePieceUnigram.from_file(
                     os.path.join(wd, "spiece.model")))
         imagination = DiffusionImagination(

@@ -61,9 +61,10 @@ class DiffusionImagination:
     t5_params: Optional[dict] = None
     t5_cfg: Optional[object] = None
     t5_tokenizer: Optional[object] = None
-    # diffusers max_sequence_length (256 default in the reference's
-    # pipeline call; lower trades conditioning detail for MMDiT seq len)
-    t5_seq_len: int = 256
+    # diffusers max_sequence_length: the reference's imaginary() passes
+    # 512 explicitly (memory_2.py:263-270), overriding the diffusers 256
+    # default; lower trades conditioning detail for MMDiT seq len
+    t5_seq_len: int = 512
     # int8 W8A8 serving of the MMDiT token matmuls (ops/quant.py) -- the
     # TPU-native counterpart of the reference's NF4-quantized SD3.5
     # (memory_2.py:542-560).  Measured on TPU: full forward 116.8 ->

@@ -511,25 +511,20 @@ def joint_qkv_attention(qkv_x, qkv_c, heads: int, q_gamma_x, k_gamma_x,
     attention output [B, Sx+Sc, D] with x rows first.
 
     Requires head_dim 64 and even heads (128-lane blocks); bq must be a
-    multiple of 128 to keep logits lanes aligned.  bq=0 auto-selects the
-    largest tile <= 512 with the least padding (SD3 S=1101 -> 384,
-    swept vs 128/256; longer T5-conditioned contexts pick their own)."""
+    multiple of 16 (bf16 sublane tile) and the padded length Sp =
+    ceil(S/bq)*bq a multiple of 128 (logits lane alignment).  bq=0
+    auto-selects via `joint_bq_auto` (minimal padded K length, then the
+    largest tile -- swept on TPU at the SD3.5 sequence lengths)."""
     B, Sx, threeD = qkv_x.shape
     Sc = qkv_c.shape[1]
     D = threeD // 3
     hd = D // heads
     S = Sx + Sc
     if bq == 0:
-        # larger q tiles beat padding at equal waste (measured: at
-        # S=1101, bq 384 and 128 pad identically but 384 is 18% faster)
-        # -- take the largest tile whose padding stays under ~15%
-        bq = 128
-        for c in (512, 384, 256):
-            if -(-S // c) * c - S <= max(0.15 * S, 64):
-                bq = c
-                break
-    assert hd == 64 and heads % 2 == 0 and bq % 128 == 0
+        bq = (_SWEEP_BQ(S) if _SWEEP_BQ is not None else None) \
+            or joint_bq_auto(S)
     Sp = ((S + bq - 1) // bq) * bq
+    assert hd == 64 and heads % 2 == 0 and bq % 16 == 0 and Sp % 128 == 0
     qkv = jnp.concatenate([qkv_x, qkv_c], axis=1)
     if Sp != S:
         qkv = jnp.pad(qkv, ((0, 0), (0, Sp - S), (0, 0)))
@@ -565,6 +560,32 @@ def joint_qkv_attention(qkv_x, qkv_c, heads: int, q_gamma_x, k_gamma_x,
         interpret=interpret,
     )(qkv, qkv, qkv, gam)
     return out[:, :S]
+
+
+#: tools/joint_attn_sweep.py hook: a callable S -> bq (or None to fall
+#: through to joint_bq_auto) applied when joint_qkv_attention is called
+#: with bq=0.  Read at trace time; leave None in production.
+_SWEEP_BQ = None
+
+
+def joint_bq_auto(S: int) -> int:
+    """Auto q-tile for `joint_qkv_attention`: among multiples of 16
+    whose padded length Sp = ceil(S/bq)*bq is 128-aligned, minimize Sp
+    (every program's K/V stream and logits width scale with Sp), then
+    take the LARGEST tile (fewer grid steps amortize the VMEM-resident
+    K/V better; measured at S=1101: bq 384 vs 128 at equal padding was
+    18% faster).  Swept on TPU v5e at the SD3.5 shapes (S=1178 joint /
+    1613 with T5-512 conditioning, tools/joint_attn_sweep.py)."""
+    sp128 = -(-S // 128) * 128      # bq=128 always pads 128-aligned
+    best = ((sp128, -128), 128)
+    for bq in range(144, min(S + 15, 1024) + 1, 16):
+        Sp = -(-S // bq) * bq
+        if Sp % 128:
+            continue
+        key = (Sp, -bq)
+        if key < best[0]:
+            best = (key, bq)
+    return best[1]
 
 
 def use_joint_qkv_attention(seq_len: int, heads: int, head_dim: int,

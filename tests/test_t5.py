@@ -37,6 +37,47 @@ def test_t5_parity_vs_transformers():
     np.testing.assert_allclose(j_out, t_out, rtol=2e-3, atol=2e-3)
 
 
+def test_t5_quantized_parity():
+    """int8 W8A8 serving (quantize_params) tracks the float encoder:
+    per-token cosine stays high and the int8 embed gather dequantizes
+    exactly up to the per-column scale rounding."""
+    import jax
+    cfg = T5.T5_TEST
+    params = T5.init_params(cfg, jax.random.PRNGKey(0))
+    qparams = T5.quantize_params(params)
+    # quantized leaves replaced the bare matmul weights
+    assert "w_q" in qparams["blocks"][0]["q"]
+    assert qparams["blocks"][0]["q"]["w_q"].dtype == jnp.int8
+    assert "w_q" in qparams["embed"]
+
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(1, cfg.vocab_size, size=(2, 16)),
+                      jnp.int32)
+    ref = np.asarray(T5.encode(params, ids, cfg), np.float32)
+    q = np.asarray(T5.encode(qparams, ids, cfg), np.float32)
+    cos = np.sum(ref * q, -1) / (
+        np.linalg.norm(ref, axis=-1) * np.linalg.norm(q, axis=-1) + 1e-9)
+    assert cos.min() > 0.99, cos.min()
+
+
+def test_t5_host_quantize_matches_device():
+    """quantize_params_host (numpy, pre-upload) produces the same int8
+    tree as the jnp quantize_params."""
+    import jax
+    cfg = T5.T5_TEST
+    params = T5.init_params(cfg, jax.random.PRNGKey(2))
+    qd = T5.quantize_params(params)
+    qh = T5.quantize_params_host(
+        jax.tree.map(lambda a: np.asarray(a), params))
+    leaves_d = jax.tree.leaves(qd)
+    leaves_h = jax.tree.leaves(qh)
+    assert len(leaves_d) == len(leaves_h)
+    for a, b in zip(leaves_d, leaves_h):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_t5_attention_mask():
     import jax
     cfg = T5.T5_TEST

@@ -1,8 +1,12 @@
-"""MMDiT component timing on real TPU: where do the 229 ms/CFG-step go?
+"""MMDiT component timing on real TPU: where does the CFG-step go?
 
-SD3.5-medium b6 (cfg-batched) @512px: S_x=1024 latent + S_c=77 context
-tokens, dim 1536, 24 heads x hd 64, depth 24.  Matmul roofline ~51 ms
--> measured 229 ms = ~22% MFU; this tool isolates the gap.
+SD3.5-medium b6 (cfg-batched) @512px: S_x=1024 latent + S_c context
+tokens, dim 1536, 24 heads x hd 64, depth 24.  S_c defaults to the
+REAL triple-encoder conditioning length 77 CLIP + 512 T5 = 589
+(reference memory_2.py:263-270 passes max_sequence_length=512);
+override with `python tools/mmdit_profile.py <ctx_len>` (154 = T5
+dropped, 77 = the pre-r4 single-tower shape this file's history
+references).
 """
 
 import os
@@ -37,7 +41,8 @@ def main():
     print("devices:", jax.devices(), flush=True)
     cfg = M.SD35_MEDIUM
     params = M.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    B, Sx, Sc, D, h, hd = 6, 1024, 77, cfg.dim, cfg.heads, cfg.head_dim
+    Sc = int(sys.argv[1]) if len(sys.argv) > 1 else 589
+    B, Sx, D, h, hd = 6, 1024, cfg.dim, cfg.heads, cfg.head_dim
     S = Sx + Sc
 
     lat = jax.random.normal(jax.random.PRNGKey(1), (B, 64, 64, 16),
@@ -81,7 +86,7 @@ def main():
             o = attfn(q, k, o)
         return jnp.sum(o.astype(jnp.float32))
 
-    timed("attention x24 dispatch (flash, S=1101)",
+    timed(f"attention x24 dispatch (S={S})",
           jax.jit(lambda q, k, v: att24(FA.attention, q, k, v)), q, k, v)
     timed("attention x24 XLA einsum",
           jax.jit(lambda q, k, v: att24(FA.reference_attention, q, k, v)),

@@ -123,20 +123,36 @@ def main():
     lat = jax.random.normal(jax.random.PRNGKey(5),
                             (3, mcfg.input_size, mcfg.input_size,
                              mcfg.in_channels), jnp.bfloat16)
-    ctx = jax.random.normal(jax.random.PRNGKey(6), (3, 77 + 77, mcfg.context_dim),
+    # ctx 77 CLIP + 512 T5: the reference's imaginary() passes
+    # max_sequence_length=512 (memory_2.py:263-270), so the serving
+    # joint sequence is 1024 latent + 589 ctx = 1613 tokens
+    ctx = jax.random.normal(jax.random.PRNGKey(6),
+                            (3, 77 + 512, mcfg.context_dim),
                             jnp.bfloat16)
     pooled = jax.random.normal(jax.random.PRNGKey(7), (3, mcfg.pooled_dim),
                                jnp.bfloat16)
     mfwd = jax.jit(lambda p, l, c, po: jnp.sum(M.forward(
         p, l, jnp.full((3,), 0.5), c, po, mcfg).astype(jnp.float32)))
-    rows.append(timed("sd3.5-medium mmdit b3@512px step", mfwd, mparams,
-                      lat, ctx, pooled, iters=3))
+    rows.append(timed("sd3.5-medium mmdit b3@512px T5-512 ctx", mfwd,
+                      mparams, lat, ctx, pooled, iters=3))
     # int8 W8A8 serving row (ops/quant.py; bench's default text-query
     # path via DiffusionImagination(quantize=True))
-    rows.append(timed("sd3.5-medium mmdit b3 int8 W8A8", mfwd,
+    rows.append(timed("sd3.5-medium mmdit b3 T5-512 int8 W8A8", mfwd,
                       jax.jit(M.quantize_params)(mparams), lat, ctx,
                       pooled, iters=3, peak=PEAK_INT8))
     del mparams
+
+    # --- T5-XXL encoder (SD3.5 conditioning, int8 serving) ---------------
+    from bsc_nav_tpu.models import t5 as T5
+    t5params = jit_init(lambda k: T5.init_params_q8(
+        T5.T5_XXL, k, dtype=jnp.bfloat16), jax.random.PRNGKey(20))
+    t5ids = jax.random.randint(jax.random.PRNGKey(21), (1, 512), 2,
+                               32000, jnp.int32)
+    t5fwd = jax.jit(lambda p, i: jnp.sum(T5.encode(
+        p, i, T5.T5_XXL).astype(jnp.float32)))
+    rows.append(timed("t5-xxl encode b1 S=512 int8 W8A8", t5fwd,
+                      t5params, t5ids, iters=3, peak=PEAK_INT8))
+    del t5params
 
     # --- SD3 VAE decode (text-query imagination shape) ---------------------
     from bsc_nav_tpu.models import vae as V
