@@ -50,7 +50,8 @@ def dryrun_config() -> Config:
     )
 
 
-def dryrun_multichip(n_devices: int, devices=None, dp=None, mp=None) -> None:
+def dryrun_multichip(n_devices: int, devices=None, dp=None, mp=None,
+                     textq: bool = False) -> None:
     """Create an n-device mesh, jit the FULL pipeline step over it with
     real dp/mp shardings, and run one step on tiny shapes.  Raises on
     any sharding/compile/execution failure.
@@ -211,10 +212,66 @@ def dryrun_multichip(n_devices: int, devices=None, dp=None, mp=None) -> None:
                                    rtol=2e-4, atol=2e-4)
         mmdit_ok = ", mmdit-tp verified"
 
+    # fused text-query leg (VERDICT r4 item 7): the largest single
+    # program in the system -- CLIP-L/G + T5 conditioning -> MMDiT CFG
+    # sampling -> VAE decode -> ViT encode -> localize against the
+    # mp-SHARDED store, all in ONE jit executed under the mesh
+    # (production path: memory.pipeline.make_text_query_step, the
+    # program whose TPU compile died in round 4's driver run).
+    textq_ok = ""
+    if textq:
+        from bsc_nav_tpu.memory.pipeline import make_text_query_step
+        from bsc_nav_tpu.models import clip as CL
+        from bsc_nav_tpu.models import mmdit as MM
+        from bsc_nav_tpu.models import t5 as T5
+        from bsc_nav_tpu.models import tokenizer as TOK
+        from bsc_nav_tpu.models import vae as VV
+        from bsc_nav_tpu.models.imagination import DiffusionImagination
+
+        mcfg = MM.MMDIT_TEST
+        vcfg = VV.VAEConfig(
+            latent_channels=mcfg.in_channels, base_channels=16,
+            channel_mults=(1, 2), blocks_per_stage=1, groups=4,
+            scaling_factor=1.0, shift_factor=0.0)
+        lcfg, gcfg = CL.SD3_CLIP_L_TEST, CL.SD3_CLIP_G_TEST
+        tcfg = T5.T5Config(vocab_size=64, dim=mcfg.context_dim, d_kv=8,
+                           heads=2, d_ff=64, layers=1, rel_buckets=8,
+                           rel_max_distance=16)
+
+        class _Tok:
+            def encode(self, text):
+                return [hash(w) % 62 + 2 for w in text.split()]
+
+        imag = DiffusionImagination(
+            mmdit_params=MM.init_params(mcfg, jax.random.PRNGKey(11)),
+            mmdit_cfg=mcfg,
+            vae_params=VV.init_params(vcfg, jax.random.PRNGKey(12)),
+            vae_cfg=vcfg,
+            clip_l_params=CL.init_text_params(lcfg, jax.random.PRNGKey(13)),
+            clip_l_cfg=lcfg,
+            clip_g_params=CL.init_text_params(gcfg, jax.random.PRNGKey(14)),
+            clip_g_cfg=gcfg,
+            tokenizer=TOK.HashTokenizer(vocab_size=lcfg.vocab_size,
+                                        context_length=lcfg.context_length),
+            num_images=2, num_steps=2,
+            t5_params=T5.init_params(tcfg, jax.random.PRNGKey(15)),
+            t5_cfg=tcfg, t5_tokenizer=_Tok(), t5_seq_len=8)
+        tq = make_text_query_step(cfg, vit_cfg, imag)
+        with mesh:
+            _tp, tscores, timgs = tq(
+                state, params, imag.mmdit_params, imag.vae_params,
+                imag.text_params, imag.t5_params,
+                *imag.prep_inputs("a red sofa"), imag.next_key(),
+                top_k=8)
+        tsc = np.asarray(tscores)
+        assert not np.isnan(tsc).any(), "NaN text-query scores"
+        assert np.asarray(timgs).dtype == np.uint8
+        textq_ok = ", fused text query (clip+t5 -> mmdit -> vae -> localize) verified"
+
     print(f"dryrun_multichip OK: mesh dp={dp} mp={mp}, "
           f"{n} voxels, {n_inst} detector instances, "
           f"top score {float(s[0]):.4f}, "
-          f"distributed top-k verified{mmdit_ok}")
+          f"distributed top-k verified{mmdit_ok}{textq_ok}")
 
 
 def dryrun_all(n_devices: int, devices=None) -> None:
@@ -228,11 +285,16 @@ def dryrun_all(n_devices: int, devices=None) -> None:
         if n_devices % cand == 0:
             mp_mid = cand
             break
-    factorizations = [(n_devices, 1), (n_devices // mp_mid, mp_mid),
-                      (1, n_devices)]
+    # the fused text-query leg runs at the balanced factorization (the
+    # store is mp-sharded there, so the one-program text query executes
+    # with a genuinely distributed localize tail)
+    factorizations = [(n_devices, 1, False),
+                      (n_devices // mp_mid, mp_mid, True),
+                      (1, n_devices, False)]
     seen = set()
-    for dp, mp in factorizations:
+    for dp, mp, textq in factorizations:
         if (dp, mp) in seen:
             continue
         seen.add((dp, mp))
-        dryrun_multichip(n_devices, devices=devices, dp=dp, mp=mp)
+        dryrun_multichip(n_devices, devices=devices, dp=dp, mp=mp,
+                         textq=textq)
