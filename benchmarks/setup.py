@@ -304,3 +304,145 @@ def island_stats(bench):
     state = bench.sim.agents[0].get_state()
     island = pf.get_island(state.position)
     return island, pf.island_area(island)
+
+
+def readiness_check(args) -> int:
+    """One-command readiness gate: `python -m benchmarks.setup --check`.
+
+    Validates everything the real-habitat benchmark path needs (habitat
+    install, scene/dataset paths, converted weights) and then runs ONE
+    mocked episode end-to-end through the actual objnav driver, so the
+    first machine with habitat + scenes + checkpoints validates
+    unattended (reference run path: objnav_benchmark.py:1233-1327).
+    Returns a shell exit code: 0 = everything requested is ready."""
+    import importlib.util
+    import json as _json
+    import tempfile
+
+    ok = True
+
+    def row(label, good, detail=""):
+        nonlocal ok
+        mark = "ok     " if good else "MISSING"
+        print(f"  [{mark}] {label}" + (f" -- {detail}" if detail else ""))
+        if not good:
+            ok = False
+        return good
+
+    print("== bsc-nav-tpu readiness check ==")
+
+    # 1. device backend (the axon TPU plugin ignores the JAX_PLATFORMS
+    # env var; honor it through the config API like bench.py does)
+    import jax
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    try:
+        devs = jax.devices()
+        row("jax backend", True, f"{jax.default_backend()}: {devs}")
+    except Exception as e:                      # noqa: BLE001
+        row("jax backend", False, f"{type(e).__name__}: {e}")
+
+    # 2. habitat-sim (the only habitat package the env layer imports).
+    # Only fatal when the invocation actually asked for habitat; a
+    # machine running the offline stack is still READY without it.
+    habitat_requested = bool(args.scene_prefix or args.episode_prefix
+                             or args.env == "habitat")
+    have_habitat = importlib.util.find_spec("habitat_sim") is not None
+    if have_habitat or habitat_requested:
+        row("habitat_sim importable", have_habitat,
+            "" if have_habitat else "conda install habitat-sim")
+    else:
+        print("  [absent ] habitat_sim (optional here; fake backend "
+              "fully usable -- pass --scene-prefix/--episode-prefix to "
+              "require it)")
+
+    # 3. dataset/scene paths (only judged if the user pointed at them)
+    episodes = []
+    if args.episode_prefix:
+        try:
+            from bsc_nav_tpu.env import datasets as DS
+            loader = (DS.load_r2r_episodes if args.task == "vlnce"
+                      else DS.load_objectnav_episodes)
+            episodes = loader(args.episode_prefix, limit=1)
+            row("episode dataset parses", bool(episodes),
+                f"{args.episode_prefix}")
+        except Exception as e:                  # noqa: BLE001
+            row("episode dataset parses", False,
+                f"{args.episode_prefix}: {type(e).__name__}: {e}")
+    else:
+        print("  [skip   ] --episode-prefix not given")
+    if args.scene_prefix:
+        if episodes:
+            sp = os.path.join(args.scene_prefix, episodes[0].scene_id)
+            row("first episode scene file", os.path.exists(sp), sp)
+        else:
+            row("scene prefix exists", os.path.isdir(args.scene_prefix),
+                args.scene_prefix)
+    else:
+        print("  [skip   ] --scene-prefix not given")
+
+    # 4. converted checkpoints (tools/weights_manifest.json contract)
+    if args.weights_dir:
+        man = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools", "weights_manifest.json")
+        with open(man) as f:
+            models = _json.load(f)["models"]
+        missing = [m["out"] for m in models.values()
+                   if not os.path.exists(
+                       os.path.join(args.weights_dir, m["out"]))]
+        row("converted weights complete", not missing,
+            ("all present; run `python tools/convert_weights.py "
+             "verify-all --manifest` for parity" if not missing else
+             f"missing from {args.weights_dir}: {', '.join(missing)}"))
+    else:
+        print("  [skip   ] --weights-dir not given (random-init serving)")
+
+    # 5. one mocked episode end-to-end through the REAL driver
+    from benchmarks import objnav as _objnav
+    with tempfile.TemporaryDirectory() as td:
+        try:
+            recs = _objnav.main([
+                "--env", "fake", "--episodes", "1", "--llm", "mock",
+                "--csv", os.path.join(td, "check.csv"),
+                "--log-root", td, "--memory-root", td])
+            row("mocked episode end-to-end", bool(recs),
+                f"success={recs[0].metrics['success']:.0f} "
+                f"spl={recs[0].metrics['spl']:.2f}" if recs else "")
+        except Exception as e:                  # noqa: BLE001
+            row("mocked episode end-to-end", False,
+                f"{type(e).__name__}: {e}")
+
+    # 6. the real habitat world, if everything for it is present
+    if have_habitat and episodes and args.scene_prefix:
+        try:
+            import copy
+            a = copy.copy(args)
+            a.env, a.episodes = "habitat", 1
+            cfg, bench, memory, extras = build_world(a, task=args.task)
+            bench.reset()
+            m = bench.get_metrics()
+            row("habitat world builds + resets", True,
+                f"distance_to_goal={m['distance_to_goal']:.2f}")
+        except Exception as e:                  # noqa: BLE001
+            row("habitat world builds + resets", False,
+                f"{type(e).__name__}: {e}")
+    else:
+        print("  [skip   ] habitat world (needs habitat_sim + "
+              "--scene-prefix + --episode-prefix)")
+
+    print(f"== readiness: {'READY' if ok else 'NOT READY'} ==")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    _p = argparse.ArgumentParser(
+        description="readiness check: python -m benchmarks.setup --check")
+    add_common_args(_p)
+    _p.add_argument("--check", action="store_true")
+    _p.add_argument("--task", default="objnav",
+                    choices=["objnav", "ovnav", "imagenav", "textnav",
+                             "vlnce", "eqa"])
+    _a = _p.parse_args()
+    if not _a.check:
+        _p.error("this module is a library; the only CLI is --check")
+    raise SystemExit(readiness_check(_a))
