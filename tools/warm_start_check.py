@@ -1,0 +1,92 @@
+"""Fresh-process warm-start check (VERDICT r4 item 3).
+
+Round 4's warm-startup claim (docs/startup_r04.json: imagination_init
+18.9 s warm) only held in the builder session that wrote the cache; the
+driver's end-of-round run paid 85.9 s because the final round-4 commits
+changed traced code AFTER the last warm-up, so the cache entries for
+the imagination/text-query programs keyed on stale HLO.  This tool
+makes the property testable: it spawns bench.py's startup-only mode in
+a CLEAN subprocess with default env (the driver's exact call shape) and
+asserts the big programs reload from cache instead of recompiling.
+
+Usage:
+    python tools/warm_start_check.py            # one run, report only
+    python tools/warm_start_check.py --seed     # run twice: first run
+                                                # seeds the cache, the
+                                                # second must be warm
+    python tools/warm_start_check.py --assert-warm [--max-total 120]
+
+Exit 0 when the (last) run satisfies the warm thresholds, 1 otherwise.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+
+def run_startup_only(repo_root: str, timeout: int = 3600) -> dict:
+    """One fresh `BENCH_STARTUP_ONLY=1 python bench.py` with default
+    env (BENCH_* knobs stripped so the run matches the driver's)."""
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith("BENCH_")}
+    env["BENCH_STARTUP_ONLY"] = "1"
+    proc = subprocess.run(
+        [sys.executable, "bench.py"], cwd=repo_root, env=env,
+        capture_output=True, text=True, timeout=timeout)
+    sys.stderr.write(proc.stderr[-4000:])
+    if proc.returncode != 0:
+        raise RuntimeError(f"bench.py rc={proc.returncode}")
+    line = proc.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def check_warm(startup: dict, max_each: float, max_total: float):
+    """Returns (ok, problems).  A warm process must pay cache-reload
+    time (seconds per program), never compile time (minutes)."""
+    problems = []
+    total = sum(startup.values())
+    if total > max_total:
+        problems.append(f"total startup {total:.1f}s > {max_total}s")
+    for name, secs in startup.items():
+        if secs > max_each:
+            problems.append(f"{name}: {secs:.1f}s > {max_each}s "
+                            "(compile, not cache reload)")
+    return not problems, problems
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--seed", action="store_true",
+                   help="run twice; the first run seeds the cache")
+    p.add_argument("--assert-warm", action="store_true")
+    p.add_argument("--max-each", type=float, default=45.0,
+                   help="per-entry warm budget, seconds (cache reload "
+                        "of the biggest program through the tunnel is "
+                        "~5-20 s; a compile is minutes)")
+    p.add_argument("--max-total", type=float, default=150.0)
+    args = p.parse_args(argv)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    if args.seed:
+        print("seeding run (may compile everything cold)...",
+              file=sys.stderr)
+        first = run_startup_only(root)
+        print(json.dumps({"seed_run": first["startup"],
+                          "total": first["value"]}))
+
+    out = run_startup_only(root)
+    ok, problems = check_warm(out["startup"], args.max_each,
+                              args.max_total)
+    print(json.dumps({"startup": out["startup"], "total": out["value"],
+                      "warm": ok, "problems": problems}))
+    if args.assert_warm and not ok:
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
