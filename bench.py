@@ -184,6 +184,9 @@ def _precompile_textq(cfg, full, vit_cfg, store_dtype, vit_int8):
     from bsc_nav_tpu.memory.store import init_store
     from bsc_nav_tpu.models import vit
 
+    from bsc_nav_tpu.memory.pipeline import make_text_pool_step
+    from bsc_nav_tpu.memory.query import localize
+
     want_t5 = full and os.environ.get("BENCH_T5", "1") != "0"
     state_s = jax.eval_shape(
         lambda: init_store(cfg.memory, store_dtype=store_dtype))
@@ -192,18 +195,36 @@ def _precompile_textq(cfg, full, vit_cfg, store_dtype, vit_int8):
         if vit_int8 else
         (lambda k: vit.init_params(vit_cfg, k, dtype=jnp.bfloat16)))
     vparams_s = jax.eval_shape(vfn, jax.random.PRNGKey(0))
-    for use_t5 in ([True, False] if want_t5 else [False]):
-        name = "fused+t5" if use_t5 else "fused"
+    key = jax.random.PRNGKey(0)
+    prompt = "a red leather sofa in a living room"
+
+    def compile_fused(imag):
+        tq = make_text_query_step(cfg, vit_cfg, imag,
+                                  compute_dtype=jnp.bfloat16)
+        tq.lower(
+            state_s, vparams_s, imag.mmdit_params, imag.vae_params,
+            imag.text_params, imag.t5_params, *imag.prep_inputs(prompt),
+            key, top_k=100).compile()
+
+    def compile_split(imag):
+        ps = make_text_pool_step(cfg, vit_cfg, imag,
+                                 compute_dtype=jnp.bfloat16)
+        args = (vparams_s, imag.mmdit_params, imag.vae_params,
+                imag.text_params, imag.t5_params,
+                *imag.prep_inputs(prompt), key)
+        ps.lower(*args).compile()
+        pooled_s = jax.eval_shape(ps, *args)[0]
+        localize.lower(state_s, pooled_s, top_k=100).compile()
+
+    ladder = []
+    if want_t5:
+        ladder += [("fused+t5", True, compile_fused),
+                   ("split+t5", True, compile_split)]
+    ladder.append(("fused", False, compile_fused))
+    for name, use_t5, compile_fn in ladder:
         try:
             t0 = time.perf_counter()
-            imag = _make_imagination(full, use_t5, abstract=True)
-            tq = make_text_query_step(cfg, vit_cfg, imag,
-                                      compute_dtype=jnp.bfloat16)
-            tq.lower(
-                state_s, vparams_s, imag.mmdit_params, imag.vae_params,
-                imag.text_params, imag.t5_params,
-                *imag.prep_inputs("a red leather sofa in a living room"),
-                jax.random.PRNGKey(0), top_k=100).compile()
+            compile_fn(_make_imagination(full, use_t5, abstract=True))
             _startup(f"textq_precompile[{name}]",
                      time.perf_counter() - t0)
             return name
@@ -636,21 +657,27 @@ def main():
     print(json.dumps(out))
 
 
-def _run_text_tier(cfg, full, state, params, vit_cfg, use_t5, fused,
+def _run_text_tier(cfg, full, state, params, vit_cfg, use_t5, mode,
                    query_step, startup_only):
     """One text-query tier: build the imagination stack and measure
-    (e2e_ms, prefetch_residual_ms).  fused=True runs the one-program
-    path (agents/spatial_memory._voxel_localized_text_fused: no
-    decoded-image host round trip, measured 3643 vs 3362 ms on TPU,
-    tools/textq_profile.py r3); fused=False runs the two-program
-    fallback (imagination jit -> host uint8 -> query jit)."""
+    (e2e_ms, prefetch_residual_ms).  mode:
+      fused        one program incl. the store scan (fastest; its +t5
+                   variant exceeds the compile server at production
+                   store sizes -- tools/t5_compile_bisect.py)
+      split        imagination+encode+pool program chained DEVICE-side
+                   into the localize program (the [D] pooled handoff
+                   never visits the host; ~fused speed, compiles with
+                   T5)
+      two-program  imagination jit -> host uint8 -> query jit (the
+                   reference-shaped fallback; pays the image round
+                   trip)"""
     import jax.numpy as jnp
 
     t0 = time.perf_counter()
     imagination = _make_imagination(full, use_t5)
     _startup("imagination_init", time.perf_counter() - t0)
 
-    if fused:
+    if mode == "fused":
         from bsc_nav_tpu.memory.pipeline import make_text_query_step
         tq_step = make_text_query_step(cfg, vit_cfg, imagination,
                                        compute_dtype=jnp.bfloat16)
@@ -661,6 +688,23 @@ def _run_text_tier(cfg, full, state, params, vit_cfg, use_t5, fused,
                 imagination.vae_params, imagination.text_params,
                 imagination.t5_params, *imagination.prep_inputs(text),
                 imagination.next_key(), top_k=100)
+            return sc
+
+        def finish(sc):
+            return float(sc[0])
+    elif mode == "split":
+        from bsc_nav_tpu.memory.pipeline import make_text_pool_step
+        from bsc_nav_tpu.memory.query import localize
+        pool_step = make_text_pool_step(cfg, vit_cfg, imagination,
+                                        compute_dtype=jnp.bfloat16)
+
+        def dispatch(text):
+            pooled, _imgs = pool_step(
+                params, imagination.mmdit_params,
+                imagination.vae_params, imagination.text_params,
+                imagination.t5_params, *imagination.prep_inputs(text),
+                imagination.next_key())
+            _p, sc = localize(state, pooled, top_k=100)
             return sc
 
         def finish(sc):
@@ -691,9 +735,8 @@ def _run_text_tier(cfg, full, state, params, vit_cfg, use_t5, fused,
     text_e2e_ms = float(np.median(tq) * 1000)
     cond = ("CLIP-L+G + T5-XXL-512" if use_t5
             else "CLIP-L+G, T5 zero-block")
-    log(f"text query e2e ({'fused one-program' if fused else 'two-program'}"
-        f"): {text_e2e_ms:.0f} ms (SD3.5-class 3x512^2 28 steps, {cond},"
-        f" + encode + localize)")
+    log(f"text query e2e ({mode}): {text_e2e_ms:.0f} ms "
+        f"(SD3.5-class 3x512^2 28 steps, {cond}, + encode + localize)")
 
     # agent-loop-shaped metric (VERDICT r3 item 5): the robot PREFETCHES
     # stage-2 at the decision point (robot._prefetch_working_memory) and
@@ -719,43 +762,49 @@ def _text_query_phase(cfg, full, state, params, vit_cfg, rng, query_step,
     must carry a NUMBER, with the tier recorded in text_query_path):
 
         fused+t5      one program, full triple-encoder conditioning
+        split+t5      full conditioning, device-chained two programs
+                      (the compile-robust T5 path)
         fused         one program, diffusers text_encoder_3=None
+        split         device-chained, no T5
         two-program   imagination jit -> host uint8 -> query jit
                       (+t5 variant first when T5 is wanted)
 
-    Each tier is retried once (tunnel HTTP 500s can be transient)
-    unless it OOMed, in which case retrying the same footprint is
-    pointless and we fall straight to the next tier."""
+    When the empty-chip precompile already chose a tier, start there
+    (everything above it failed to compile with zero device memory --
+    a loaded-chip attempt is doomed).  Each tier is retried once
+    (tunnel HTTP 500s can be transient) unless it OOMed, in which case
+    retrying the same footprint is pointless."""
     import gc
 
     if os.environ.get("BENCH_SKIP_TEXTQ"):
         return None, None
     want_t5 = full and os.environ.get("BENCH_T5", "1") != "0"
-    if precompiled == "fused" and want_t5:
-        # the empty-chip precompile of the T5 program already failed;
-        # don't pay a doomed loaded-chip compile attempt
-        log("textq: skipping fused+t5 tier (its empty-chip precompile "
-            "failed); starting at the no-T5 fused tier")
-        want_t5 = False
     tiers = []
     if want_t5:
-        tiers.append(("fused+t5", True, True))
-    tiers.append(("fused", False, True))
+        tiers += [("fused+t5", True, "fused"), ("split+t5", True, "split")]
+    tiers += [("fused", False, "fused"), ("split", False, "split")]
     if want_t5:
-        tiers.append(("two-program+t5", True, False))
-    tiers.append(("two-program", False, False))
+        tiers.append(("two-program+t5", True, "two-program"))
+    tiers.append(("two-program", False, "two-program"))
+    names = [t[0] for t in tiers]
+    if precompiled in names:
+        skipped = names[:names.index(precompiled)]
+        if skipped:
+            log(f"textq: starting at tier {precompiled} (empty-chip "
+                f"precompile already failed: {', '.join(skipped)})")
+        tiers = tiers[names.index(precompiled):]
     # BENCH_TEXTQ_TIER=<name> pins one tier (fallback A/Bs, debugging)
     pin = os.environ.get("BENCH_TEXTQ_TIER")
     if pin:
         tiers = [t for t in tiers if t[0] == pin] or tiers
 
     last_err = None
-    for name, use_t5, fused in tiers:
+    for name, use_t5, mode in tiers:
         for attempt in range(2):
             gc.collect()                 # free the failed tier's params
             try:
                 res = _run_text_tier(cfg, full, state, params, vit_cfg,
-                                     use_t5, fused, query_step,
+                                     use_t5, mode, query_step,
                                      startup_only)
                 _TEXTQ_PATH[0] = name + ("+retry" if attempt else "")
                 _TEXTQ_T5[0] = use_t5

@@ -114,13 +114,23 @@ class VoxelTokenMemory:
                  memory_path: Optional[str] = None,
                  store_dtype=jnp.float32,
                  segmented: bool = False,
-                 max_device_segments: int = 1):
+                 max_device_segments: int = 1,
+                 text_query_split: Optional[bool] = None):
         self.cfg = cfg
         self.Env = env
         self.perception = perception
         self.detector = detector
         self.imagination = imagination
         self._text_query_step = None     # lazily-built fused text query
+        self._text_pool_step = None      # lazily-built split first half
+        # split text query: imagination+encode+pool in one program, the
+        # localize scan in a second, chained device-side ([D] pooled
+        # handoff, no host round trip).  None = auto: split when T5
+        # conditioning meets a big store -- the one combination whose
+        # single fused program exceeds the TPU compile server (round-5
+        # bisection, tools/t5_compile_bisect.py: 2^14-voxel store
+        # compiles fused+T5, 2^18 does not)
+        self.text_query_split = text_query_split
         self.last_imagined = None        # device imgs from the last one
         self.memory_save_path = memory_path or os.path.join(
             cfg.memory_path, cfg.sim.scene_name)
@@ -334,6 +344,20 @@ class VoxelTokenMemory:
                 self.perception.compute_dtype)
         return self._text_query_step
 
+    def _get_text_pool_step(self):
+        if self._text_pool_step is None:
+            from bsc_nav_tpu.memory.pipeline import make_text_pool_step
+            self._text_pool_step = make_text_pool_step(
+                self.cfg, self.perception.vit_cfg, self.imagination,
+                self.perception.compute_dtype)
+        return self._text_pool_step
+
+    def _use_split_textq(self) -> bool:
+        if self.text_query_split is not None:
+            return self.text_query_split
+        return (getattr(self.imagination, "t5_params", None) is not None
+                and self.state.feat_count.shape[0] > (1 << 16))
+
     def voxel_localized_async(self, prompt, K: int = 100,
                               region_radius: float = np.inf,
                               curr_grid=None):
@@ -357,11 +381,22 @@ class VoxelTokenMemory:
         self.flush()
         im = self.imagination
         ids, ids_u, t5_ids, t5_ids_u = im.prep_inputs(prompt)
-        positions, scores, imgs = self._get_text_query_step()(
-            self.state, self.perception.vit_params,
-            im.mmdit_params, im.vae_params, im.text_params,
-            im.t5_params, ids, ids_u, t5_ids, t5_ids_u, im.next_key(),
-            top_k=K, **self._mask_kwargs(region_radius, curr_grid))
+        if self._use_split_textq():
+            # device-chained split: pooled [D] handoff, no host sync
+            from bsc_nav_tpu.memory.query import localize
+            pooled, imgs = self._get_text_pool_step()(
+                self.perception.vit_params, im.mmdit_params,
+                im.vae_params, im.text_params, im.t5_params,
+                ids, ids_u, t5_ids, t5_ids_u, im.next_key())
+            positions, scores = localize(
+                self.state, pooled, top_k=K,
+                **self._mask_kwargs(region_radius, curr_grid))
+        else:
+            positions, scores, imgs = self._get_text_query_step()(
+                self.state, self.perception.vit_params,
+                im.mmdit_params, im.vae_params, im.text_params,
+                im.t5_params, ids, ids_u, t5_ids, t5_ids_u, im.next_key(),
+                top_k=K, **self._mask_kwargs(region_radius, curr_grid))
 
         def finish():
             # device arrays, unsynced until here: consumers that want

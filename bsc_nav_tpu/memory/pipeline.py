@@ -143,6 +143,41 @@ def make_text_query_step(cfg: Config, vit_cfg: vit.ViTConfig,
     return text_query_step
 
 
+def make_text_pool_step(cfg: Config, vit_cfg: vit.ViTConfig,
+                        imagination, compute_dtype=jnp.float32):
+    """First half of the SPLIT text query: imagination + DINOv2 encode
+    + center-Gaussian pooling in ONE jit, returning (pooled [D] f32,
+    images [N,H,W,3] uint8).  The second half is the store scan
+    (`memory.query.localize`), a separate jitted program consuming the
+    pooled vector DIRECTLY as a device array -- no host round trip (the
+    handoff is one [D] vector that never leaves the device, unlike the
+    uint8-image two-program path that paid ~280 ms).
+
+    Why split instead of `make_text_query_step`: the single fused
+    program with the full T5-XXL conditioning AND a production-size
+    store scan exceeds what the TPU compile server survives
+    (remote_compile HTTP 500, tpu_compile_helper exit 1 -- round-5
+    bisection, tools/t5_compile_bisect.py: every strict subset of that
+    program compiles, only the union dies).  Each half compiles in
+    ~60 s; async dispatch chains them with ~1 ms of extra overhead.
+    """
+    core = imagination.imagine_core
+
+    @jax.jit
+    def text_pool_step(vit_params, mmdit_params, vae_params, text_params,
+                       t5_params, ids, ids_uncond, t5_ids, t5_ids_uncond,
+                       key):
+        imgs = core(mmdit_params, vae_params, text_params, t5_params,
+                    ids, ids_uncond, t5_ids, t5_ids_uncond, key)
+        q = (cfg.query.query_height, cfg.query.query_width)
+        x = vit.preprocess(imgs, out_hw=q).astype(compute_dtype)
+        tokens = vit.forward_features(
+            vit_params, x, vit_cfg)["x_norm_patchtokens"]
+        return gaussian_center_pool(tokens), imgs
+
+    return text_pool_step
+
+
 def make_query_batch_step(cfg: Config, vit_cfg: vit.ViTConfig,
                           compute_dtype=jnp.float32):
     """Returns jitted (state, params, images_uint8 [Q, N, H, W, 3],

@@ -125,6 +125,74 @@ def test_fused_matches_two_stage(built_store):
                                   np.asarray(pos2)[keep])
 
 
+def test_split_matches_fused(built_store):
+    """Split (imagination+encode+pool program device-chained into the
+    localize program) must equal the fused single program -- the split
+    exists because fused + T5 + production store exceeds the TPU
+    compile server (tools/t5_compile_bisect.py, round 5)."""
+    from bsc_nav_tpu.memory.pipeline import make_text_pool_step
+    from bsc_nav_tpu.memory.query import localize
+
+    cfg, state, params = built_store
+    factory = _make_imagination(seed_base=20)
+    im_a, im_b = factory.new(), factory.new()
+    prompt = "a red sofa"
+
+    tq = make_text_query_step(cfg, VIT_CFG, im_a)
+    pos1, sc1, imgs1 = tq(
+        state, params, im_a.mmdit_params, im_a.vae_params,
+        im_a.text_params, im_a.t5_params,
+        *im_a.prep_inputs(prompt), im_a.next_key(), top_k=16)
+
+    ps = make_text_pool_step(cfg, VIT_CFG, im_b)
+    pooled, imgs2 = ps(params, im_b.mmdit_params, im_b.vae_params,
+                       im_b.text_params, im_b.t5_params,
+                       *im_b.prep_inputs(prompt), im_b.next_key())
+    pos2, sc2 = localize(state, pooled, top_k=16)
+
+    assert np.abs(np.asarray(imgs1, np.int32)
+                  - np.asarray(imgs2, np.int32)).max() <= 1
+    sc1, sc2 = np.asarray(sc1), np.asarray(sc2)
+    np.testing.assert_allclose(sc1, sc2, rtol=1e-4, atol=1e-5)
+    stable = np.abs(sc1[:-1] - sc1[1:]) > 1e-5
+    keep = np.concatenate([[True], stable]) & np.concatenate(
+        [stable, [True]])
+    np.testing.assert_array_equal(np.asarray(pos1)[keep],
+                                  np.asarray(pos2)[keep])
+
+
+def test_agent_split_path(built_store):
+    """VoxelTokenMemory with text_query_split=True serves the same
+    answers through voxel_localized, including the mask kwargs."""
+    cfg, state, params = built_store
+    factory = _make_imagination(seed_base=30)
+    im_s, im_f = factory.new(), factory.new()
+
+    def mem_with(imagination, split):
+        m = VoxelTokenMemory(
+            cfg, env=None,
+            perception=Perception.create(cfg, vit_cfg=VIT_CFG,
+                                         vit_params=params),
+            imagination=imagination, text_query_split=split)
+        m.state = state
+        return m
+
+    mem_s = mem_with(im_s, True)
+    mem_f = mem_with(im_f, False)
+    best_s, top_s, sims_s = mem_s.voxel_localized("a potted plant", K=8)
+    assert mem_s._text_pool_step is not None
+    assert mem_s._text_query_step is None
+    best_f, top_f, sims_f = mem_f.voxel_localized("a potted plant", K=8)
+    np.testing.assert_allclose(sims_s, sims_f, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(best_s, best_f)
+
+    # masks flow through the split's localize kwargs
+    r_best, r_top, r_sims = mem_s.voxel_localized(
+        "a potted plant", K=8, region_radius=2.0,
+        curr_grid=np.asarray(top_s[0]))
+    assert len(r_sims) <= len(sims_s)
+
+
 def test_agent_uses_fused_path(built_store):
     cfg, state, params = built_store
     factory = _make_imagination(seed_base=10)
