@@ -188,8 +188,11 @@ def _precompile_textq(cfg, full, vit_cfg, store_dtype, vit_int8):
     from bsc_nav_tpu.memory.query import localize
 
     want_t5 = full and os.environ.get("BENCH_T5", "1") != "0"
+    # the text phase quantizes the store to int8 before loading T5 (see
+    # _text_query_phase); the precompiled programs must match that aval
+    tq_store_dtype = jnp.int8 if want_t5 else store_dtype
     state_s = jax.eval_shape(
-        lambda: init_store(cfg.memory, store_dtype=store_dtype))
+        lambda: init_store(cfg.memory, store_dtype=tq_store_dtype))
     vfn = ((lambda k: vit.quantize_params(
         vit.init_params(vit_cfg, k, dtype=jnp.bfloat16)))
         if vit_int8 else
@@ -216,21 +219,48 @@ def _precompile_textq(cfg, full, vit_cfg, store_dtype, vit_int8):
         pooled_s = jax.eval_shape(ps, *args)[0]
         localize.lower(state_s, pooled_s, top_k=100).compile()
 
+    # failed-tier memo: the fused+t5 compile failure is deterministic
+    # and costs ~14 min per attempt (trace + lower + remote compile to
+    # the helper crash); remember it in the cache dir so repeat bench
+    # runs skip straight to the working tier.  Wiping the cache (or
+    # BENCH_RETRY_FAILED_PRECOMPILE=1) retries everything.
+    cache_dir = (os.environ.get("JAX_CACHE_DIR")
+                 or "/tmp/bsc_nav_jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+
+    def marker(name):
+        return os.path.join(cache_dir, "textq_precompile_failed_"
+                            + name.replace("+", "_"))
+
     ladder = []
     if want_t5:
         ladder += [("fused+t5", True, compile_fused),
                    ("split+t5", True, compile_split)]
     ladder.append(("fused", False, compile_fused))
     for name, use_t5, compile_fn in ladder:
+        if (os.path.exists(marker(name))
+                and not os.environ.get("BENCH_RETRY_FAILED_PRECOMPILE")):
+            log(f"textq precompile [{name}] skipped: failed on a prior "
+                f"run ({marker(name)}); BENCH_RETRY_FAILED_PRECOMPILE=1 "
+                f"retries")
+            continue
         try:
             t0 = time.perf_counter()
             compile_fn(_make_imagination(full, use_t5, abstract=True))
             _startup(f"textq_precompile[{name}]",
                      time.perf_counter() - t0)
+            if os.path.exists(marker(name)):
+                os.remove(marker(name))
             return name
         except Exception as e:                  # noqa: BLE001
             log(f"textq precompile [{name}] FAILED: "
                 f"{type(e).__name__}: {str(e)[:200]}")
+            try:
+                with open(marker(name), "w") as f:
+                    f.write(f"{time.ctime()}: {type(e).__name__}: "
+                            f"{str(e)[:500]}\n")
+            except OSError:
+                pass
     return None
 
 
@@ -470,8 +500,8 @@ def main():
         del batches, dev_out, yparams, detector
         gc.collect()
         try:
-            state = init_store(cfg.memory, store_dtype=store_dtype)
-            _text_query_phase(cfg, full, state, params, vit_cfg, rng,
+            state_box = [init_store(cfg.memory, store_dtype=store_dtype)]
+            _text_query_phase(cfg, full, state_box, params, vit_cfg, rng,
                               query_step, startup_only=True,
                               precompiled=textq_pre)
         except Exception as e:                  # noqa: BLE001
@@ -618,8 +648,13 @@ def main():
     gc.collect()
     text_e2e_ms = prefetch_ms = None
     try:
+        # hand over the ONLY store reference: the phase may swap the
+        # bf16 store for an int8 one, and a second live reference here
+        # would keep both resident (10 GB) under the T5 stack
+        state_box = [state]
+        del state
         text_e2e_ms, prefetch_ms = _text_query_phase(
-            cfg, full, state, params, vit_cfg, rng, query_step,
+            cfg, full, state_box, params, vit_cfg, rng, query_step,
             precompiled=textq_pre)
     except Exception as e:                      # noqa: BLE001
         # the driver contract requires the JSON line no matter what;
@@ -644,6 +679,7 @@ def main():
             round(prefetch_ms, 1) if prefetch_ms is not None else None),
         "text_query_t5": _TEXTQ_T5[0],
         "text_query_path": _TEXTQ_PATH[0],
+        "text_query_store": _TEXTQ_STORE[0],
         "textq_precompiled": textq_pre,
         "sync_rtt_ms": round(rtt_ms, 2),
         "backend": backend,
@@ -756,8 +792,8 @@ def _run_text_tier(cfg, full, state, params, vit_cfg, use_t5, mode,
     return text_e2e_ms, prefetch_ms
 
 
-def _text_query_phase(cfg, full, state, params, vit_cfg, rng, query_step,
-                      startup_only=False, precompiled=None):
+def _text_query_phase(cfg, full, state_box, params, vit_cfg, rng,
+                      query_step, startup_only=False, precompiled=None):
     """Graded text-query tiers (VERDICT r4 item 1: the driver artifact
     must carry a NUMBER, with the tier recorded in text_query_path):
 
@@ -775,10 +811,24 @@ def _text_query_phase(cfg, full, state, params, vit_cfg, rng, query_step,
     (tunnel HTTP 500s can be transient) unless it OOMed, in which case
     retrying the same footprint is pointless."""
     import gc
+    import jax.numpy as jnp
 
     if os.environ.get("BENCH_SKIP_TEXTQ"):
         return None, None
+    state = state_box.pop()          # sole reference -- see caller
     want_t5 = full and os.environ.get("BENCH_T5", "1") != "0"
+    if want_t5 and state.feats.dtype != jnp.int8:
+        # 16 GB budget: the bf16 store (6.2 GB) + the full triple-
+        # encoder conditioning (~9.4 GB incl. int8 T5-XXL) do not
+        # coexist; the int8 store (3.1 GB, cosine-EXACT scores) does.
+        # Same convention as int8 ingest / frozen segments.
+        from bsc_nav_tpu.memory.store import quantize_store
+        log("textq: quantizing the token store to int8 (cosine-exact) "
+            "to fit the T5-XXL conditioning next to it")
+        state = quantize_store(state)
+        _TEXTQ_STORE[0] = "int8"
+    else:
+        _TEXTQ_STORE[0] = str(np.dtype(state.feats.dtype))
     tiers = []
     if want_t5:
         tiers += [("fused+t5", True, "fused"), ("split+t5", True, "split")]
@@ -810,8 +860,12 @@ def _text_query_phase(cfg, full, state, params, vit_cfg, rng, query_step,
                 _TEXTQ_T5[0] = use_t5
                 return res
             except Exception as e:              # noqa: BLE001
-                last_err = e
                 msg = str(e)
+                # keep only the STRING: holding the exception object
+                # pins the failed tier's params (T5 alone is 4.7 GB)
+                # through its traceback frames, OOMing every later
+                # tier (observed r5 run 2)
+                last_err = f"{type(e).__name__}: {msg[:300]}"
                 log(f"text tier {name} attempt {attempt + 1} FAILED: "
                     f"{type(e).__name__}: {msg[:200]}")
                 if any(s in msg for s in ("RESOURCE_EXHAUSTED",
@@ -826,6 +880,9 @@ def _text_query_phase(cfg, full, state, params, vit_cfg, rng, query_step,
 #: attempt failed) -- reported in the bench JSON
 _TEXTQ_T5 = [None]
 _TEXTQ_PATH = [None]
+#: store dtype the text query ran against ("int8" after the T5-fit
+#: conversion; cosine-exact either way)
+_TEXTQ_STORE = [None]
 
 
 if __name__ == "__main__":

@@ -45,24 +45,10 @@ from bsc_nav_tpu.memory import query as Q
 from bsc_nav_tpu.memory.store import VoxelStoreState, init_store
 
 
-@jax.jit
-def _quantize_rows(feats: jnp.ndarray, feat_norm: jnp.ndarray):
-    """[VK, D] float rows -> (int8 rows, int8-row norms, scales).
-
-    Per-row symmetric absmax int8 (memory/ingest.py:352-362 convention):
-    cosine over the QUANTIZED rows is exact because the per-row scale
-    cancels, so feat_norm must hold the int8-row norm.  Elementwise
-    round/clip/cast fuses into one HBM pass; no f32 copy materializes."""
-    f = feats.astype(jnp.float32)
-    absmax = jnp.max(jnp.abs(f), axis=-1)
-    scale = jnp.maximum(absmax, 1e-12) / 127.0
-    q = jnp.clip(jnp.round(f / scale[:, None]), -127, 127)
-    qi = q.astype(jnp.int8)
-    norm = jnp.sqrt(jnp.sum(q * q, axis=-1))
-    # rows never written keep norm 0 (masked_norms drops by count; the
-    # guard keeps exports/debug views clean)
-    norm = jnp.where(feat_norm > 0, norm, 0.0)
-    return qi, norm.astype(jnp.float32), scale.astype(jnp.float32)
+# per-row absmax int8 quantization shared with the live-store converter
+# (store.quantize_feat_rows; frozen segments and the text-query phase
+# use the same cosine-exact convention)
+from bsc_nav_tpu.memory.store import quantize_feat_rows as _quantize_rows  # noqa: E402
 
 
 def _freeze(state: VoxelStoreState) -> dict:

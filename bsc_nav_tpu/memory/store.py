@@ -127,6 +127,43 @@ def init_store(cfg: MemoryConfig, store_dtype=jnp.float32) -> VoxelStoreState:
     )
 
 
+@jax.jit
+def quantize_feat_rows(feats: jnp.ndarray, feat_norm: jnp.ndarray):
+    """[VK, D] float token rows -> (int8 rows, int8-row norms, scales).
+
+    Per-row symmetric absmax int8 (the int8-ingest convention,
+    memory/ingest.py:352-362): cosine over the QUANTIZED rows is exact
+    because the per-row scale cancels, so feat_norm must hold the
+    int8-row norm.  Elementwise round/clip/cast fuses into one HBM
+    pass; no f32 copy materializes."""
+    f = feats.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(f), axis=-1)
+    scale = jnp.maximum(absmax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(f / scale[:, None]), -127, 127)
+    qi = q.astype(jnp.int8)
+    norm = jnp.sqrt(jnp.sum(q * q, axis=-1))
+    # rows never written keep norm 0 (masked_norms drops by count; the
+    # guard keeps exports/debug views clean)
+    norm = jnp.where(feat_norm > 0, norm, 0.0)
+    return qi, norm.astype(jnp.float32), scale.astype(jnp.float32)
+
+
+def quantize_store(state: VoxelStoreState) -> VoxelStoreState:
+    """Convert a live f32/bf16 store to the int8 store layout in place
+    (query side is dtype-agnostic: ops/quant-style int8 rows with
+    per-row scales, scores cosine-EXACT over the quantized rows).
+
+    Built for the text-query phase's memory budget: a 16 GB chip cannot
+    hold the bf16 production store (6.2 GB) next to the full SD3.5
+    triple-encoder conditioning stack (~9.4 GB with int8 T5-XXL), but
+    the int8 store (3.1 GB) fits.  Further ingest into the returned
+    state keeps working (int8 ingest path).  No-op on int8 stores."""
+    if state.feats.dtype == jnp.int8:
+        return state
+    qi, norm, scale = quantize_feat_rows(state.feats, state.feat_norm)
+    return state.replace(feats=qi, feat_norm=norm, feat_scale=scale)
+
+
 def store_nbytes(cfg: MemoryConfig, store_dtype=jnp.float32) -> int:
     """Approximate device footprint of a store with this config."""
     V, K, D = padded_rows(cfg), cfg.cache_size, cfg.token_dim
