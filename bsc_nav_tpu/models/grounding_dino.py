@@ -641,13 +641,18 @@ def _proposals(shapes) -> jnp.ndarray:
 
 def forward(params, pixel_values, input_ids, token_type_ids,
             text_attn_3d, position_ids, text_token_mask,
-            cfg: GroundingDinoConfig
+            cfg: GroundingDinoConfig, stage: str = "full"
             ) -> Dict[str, jnp.ndarray]:
     """pixel_values [B, H, W, 3] normalized floats; input_ids [B, S];
     text_attn_3d [B, S, S] bool (True=attend); text_token_mask [B, S]
     bool (True=real token).  Returns dict with `logits`
     [B, num_queries, max_text_len] and `pred_boxes` [B, num_queries, 4]
-    (cxcywh, normalized)."""
+    (cxcywh, normalized).
+
+    `stage` truncates the program for cumulative-prefix profiling
+    (tools/gdino_profile.py; isolated stage timings lie on this TPU —
+    see CLAUDE.md): "encoder" returns right after the 6 fusion-encoder
+    layers, "select" after the two-stage top-k query selection."""
     B = pixel_values.shape[0]
     D = cfg.d_model
 
@@ -712,6 +717,8 @@ def forward(params, pixel_values, input_ids, token_type_ids,
             shapes=shapes, text_pos=text_pos, text_attn_3d=text_attn_3d,
             text_pad_mask=text_pad_mask)
     enc_text = tf
+    if stage == "encoder":
+        return {"v_feat": v_feat, "encoder_text": enc_text}
 
     # ---- two-stage query selection --------------------------------------
     prop_logit, prop_valid = _proposals(shapes)
@@ -730,6 +737,8 @@ def forward(params, pixel_values, input_ids, token_type_ids,
     topk_coords = jnp.take_along_axis(
         enc_coord_logits, topk_idx[:, :, None], axis=1)
     reference = jax.nn.sigmoid(topk_coords)               # [B, nq, 4]
+    if stage == "select":
+        return {"pred_boxes": reference, "encoder_text": enc_text}
     # query_embed is stored at the checkpoint's 900 queries; a pruned
     # config (cfg.num_queries < 900) takes the leading rows -- the
     # two-stage top-k above already narrows to the same count
