@@ -224,8 +224,8 @@ def _precompile_textq(cfg, full, vit_cfg, store_dtype, vit_int8):
     # the helper crash); remember it in the cache dir so repeat bench
     # runs skip straight to the working tier.  Wiping the cache (or
     # BENCH_RETRY_FAILED_PRECOMPILE=1) retries everything.
-    cache_dir = (os.environ.get("JAX_CACHE_DIR")
-                 or "/tmp/bsc_nav_jax_cache")
+    from bsc_nav_tpu.utils.compile_cache import _DEFAULT_CACHE_DIR
+    cache_dir = (os.environ.get("JAX_CACHE_DIR") or _DEFAULT_CACHE_DIR)
     os.makedirs(cache_dir, exist_ok=True)
 
     def marker(name):

@@ -27,6 +27,15 @@ from __future__ import annotations
 
 import os
 
+#: default cache location: INSIDE the repo (gitignored), not /tmp.
+#: Round 4's driver run paid an 85.9 s cold imagination init despite a
+#: warm builder-session cache because /tmp is wiped between sessions —
+#: the repo directory is the only path that persists with the code it
+#: caches for.  JAX_CACHE_DIR still overrides.
+_DEFAULT_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".jax_cache")
+
 
 def enable_persistent_cache(cache_dir: str | None = None,
                             min_compile_secs: float = 5.0) -> None:
@@ -35,8 +44,7 @@ def enable_persistent_cache(cache_dir: str | None = None,
 
     jax.config.update(
         "jax_compilation_cache_dir",
-        cache_dir or os.environ.get("JAX_CACHE_DIR",
-                                    "/tmp/bsc_nav_jax_cache"))
+        cache_dir or os.environ.get("JAX_CACHE_DIR", _DEFAULT_CACHE_DIR))
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
                       min_compile_secs)
     jax.config.update("jax_include_full_tracebacks_in_locations", False)
