@@ -19,6 +19,15 @@ from typing import Optional, Tuple
 
 import numpy as np
 
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; honor it via
+# the config API BEFORE any bsc_nav_tpu import can initialize the
+# backend (e.g. a module-scope constant), or a CPU-requested readiness
+# check silently grabs the tunneled TPU.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 from bsc_nav_tpu.config import (
     AgentConfig, Config, MemoryConfig, QueryConfig, SensorConfig)
 from bsc_nav_tpu.agents import llm as L

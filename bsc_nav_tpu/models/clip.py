@@ -273,9 +273,10 @@ def encode_text(params: Dict[str, Any], token_ids: jnp.ndarray,
     return feats
 
 
-# CLIP image preprocessing constants (open_clip defaults)
-CLIP_MEAN = jnp.asarray([0.48145466, 0.4578275, 0.40821073])
-CLIP_STD = jnp.asarray([0.26862954, 0.26130258, 0.27577711])
+# CLIP image preprocessing constants (open_clip defaults); numpy on
+# purpose — module-scope jnp constants initialize the backend at import
+CLIP_MEAN = np.asarray([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.asarray([0.26862954, 0.26130258, 0.27577711], np.float32)
 
 
 def preprocess(images_uint8: jnp.ndarray, cfg: CLIPConfig) -> jnp.ndarray:

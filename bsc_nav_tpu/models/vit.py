@@ -22,6 +22,7 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from bsc_nav_tpu.ops.flash_attention import (
     attention, attention_from_qkv, attention_from_qkv_tp)
@@ -269,8 +270,11 @@ def forward_features(params: Dict[str, Any], images: jnp.ndarray,
     }
 
 
-IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406])
-IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225])
+# numpy (not jnp) on purpose: module-scope device arrays would
+# initialize the backend at import time, grabbing the tunneled TPU
+# from any process that merely imports the package
+IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
 
 def preprocess(images_uint8: jnp.ndarray, out_hw: Optional[tuple] = None,

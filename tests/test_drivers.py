@@ -50,6 +50,65 @@ def test_vlnce_driver(tmp_path):
     assert "Ospl" in m and "instruction" in m
 
 
+def test_ovnav_driver(tmp_path):
+    """OVON flow (reference ovnav_benchmark.py:44-136): open-vocab
+    category straight from the episode, objnav CSV schema."""
+    from benchmarks import ovnav, metric_summ
+
+    argv = ["--env", "fake", "--episodes", "2", "--llm", "mock",
+            "--csv", str(tmp_path / "o.csv"),
+            "--log-root", str(tmp_path / "tmp")]
+    records = run_in(tmp_path, ovnav.main, argv)
+    assert len(records) == 2
+    m = records[0].metrics
+    assert {"success", "spl", "object_goal", "island_area"} <= set(m)
+    overall = metric_summ.main([str(tmp_path / "o.csv")])
+    assert overall["episodes"] == 2
+
+
+def test_textnav_driver_attributes_json(tmp_path):
+    """Text-instance nav (reference textnav_benchmark.py:45-156):
+    per-episode intrinsic/extrinsic attribute texts loaded from json
+    (:125-127) override the defaults, and the CSV goal column carries
+    the merged '......'-joined text."""
+    import csv
+    import json
+    from benchmarks import textnav
+
+    attrs = {"bed": {"intrinsic_attributes": "a bright red bed",
+                     "extrinsic_attributes": "next to the wall"}}
+    attrs_path = tmp_path / "attrs.json"
+    attrs_path.write_text(json.dumps(attrs))
+
+    argv = ["--env", "fake", "--episodes", "5", "--llm", "mock",
+            "--csv", str(tmp_path / "t.csv"),
+            "--attributes-json", str(attrs_path),
+            "--log-root", str(tmp_path / "tmp")]
+    records = run_in(tmp_path, textnav.main, argv)
+    assert len(records) == 5
+    goals = [r.metrics["object_goal"] for r in records]
+    assert all("......" in g for g in goals)   # merged intrinsic+extrinsic
+    # the json-keyed 'bed' episode used the override; others keep defaults
+    assert any("bright red bed" in g for g in goals)
+    assert any("corner of the room" in g for g in goals)
+    rows = list(csv.DictReader(open(tmp_path / "t.csv")))
+    assert len(rows) == 5 and "object_goal" in rows[0]
+
+
+def test_imagenav_driver(tmp_path):
+    """Instance-ImageNav (reference imagenav_benchmark.py:44-147): the
+    goal image drives the image-query path, no diffusion needed."""
+    from benchmarks import imagenav
+
+    argv = ["--env", "fake", "--episodes", "1", "--llm", "mock",
+            "--csv", str(tmp_path / "i.csv"),
+            "--log-root", str(tmp_path / "tmp")]
+    records = run_in(tmp_path, imagenav.main, argv)
+    assert len(records) == 1
+    assert "success" in records[0].metrics
+    assert os.path.exists(tmp_path / "i.csv")
+
+
 def test_eqa_driver(tmp_path):
     from benchmarks import eqa
     argv = ["--env", "fake", "--episodes", "1", "--llm", "mock",
