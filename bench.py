@@ -68,6 +68,15 @@ def _startup(name, seconds):
     log(f"{name} compile+first: {seconds:.1f}s")
 
 
+def _startup_total():
+    """Wall-clock startup total.  The imag_* entries are per-model
+    sub-timings INSIDE the imagination_init interval (kept for
+    attribution, VERDICT r4 item 3); summing both would double-count
+    ~30-45 s and fail a genuinely warm --assert-warm run."""
+    return round(sum(v for k, v in STARTUP.items()
+                     if not k.startswith("imag_")), 1)
+
+
 def _make_imagination(full, use_t5, abstract=False):
     """Build the SD3.5-class imagination stack (MMDiT + VAE + CLIP-L/G
     [+ T5-XXL]) with REAL params (jit_init, one cached program per
@@ -163,7 +172,8 @@ def _make_imagination(full, use_t5, abstract=False):
     )
 
 
-def _precompile_textq(cfg, full, vit_cfg, store_dtype, vit_int8):
+def _precompile_textq(cfg, full, vit_cfg, store_dtype, vit_int8,
+                      query_step=None):
     """AOT-compile the fused text-query program while the chip is EMPTY.
 
     Root cause of BENCH_r04's null text_query_e2e_ms: the fused program
@@ -219,6 +229,21 @@ def _precompile_textq(cfg, full, vit_cfg, store_dtype, vit_int8):
         pooled_s = jax.eval_shape(ps, *args)[0]
         localize.lower(state_s, pooled_s, top_k=100).compile()
 
+    def compile_two_program(imag):
+        # the last-resort tier (imagination jit -> host uint8 -> query
+        # jit) is DIFFERENT HLO from the fused/split programs, and
+        # query_step's image-goal trace uses other image/store avals --
+        # so if every tier above failed here, the runtime would
+        # otherwise cold-compile both halves on a loaded chip, round
+        # 4's exact failure mode.
+        args = (imag.mmdit_params, imag.vae_params, imag.text_params,
+                imag.t5_params, *imag.prep_inputs(prompt), key)
+        imag._run.lower(*args).compile()
+        if query_step is not None:
+            imgs_s = jax.eval_shape(imag._run, *args)
+            query_step.lower(state_s, vparams_s, imgs_s,
+                             top_k=100).compile()
+
     # failed-tier memo: the fused+t5 compile failure is deterministic
     # and costs ~14 min per attempt (trace + lower + remote compile to
     # the helper crash); remember it in the cache dir so repeat bench
@@ -236,7 +261,11 @@ def _precompile_textq(cfg, full, vit_cfg, store_dtype, vit_int8):
     if want_t5:
         ladder += [("fused+t5", True, compile_fused),
                    ("split+t5", True, compile_split)]
-    ladder.append(("fused", False, compile_fused))
+    ladder += [("fused", False, compile_fused),
+               ("split", False, compile_split)]
+    if want_t5:
+        ladder.append(("two-program+t5", True, compile_two_program))
+    ladder.append(("two-program", False, compile_two_program))
     for name, use_t5, compile_fn in ladder:
         if (os.path.exists(marker(name))
                 and not os.environ.get("BENCH_RETRY_FAILED_PRECOMPILE")):
@@ -432,7 +461,7 @@ def main():
     if (not os.environ.get("BENCH_SKIP_TEXTQ")
             and (full or pre_flag == "force") and pre_flag != "0"):
         textq_pre = _precompile_textq(cfg, full, vit_cfg, store_dtype,
-                                      vit_int8)
+                                      vit_int8, query_step=query_step)
 
     # ---- phase A: encoder + ingest only (round-1 comparable) -----------
     # NOTE: sync via value materialization -- block_until_ready does not
@@ -508,7 +537,7 @@ def main():
             log(f"startup text-query phase FAILED: "
                 f"{type(e).__name__}: {e}")
         print(json.dumps({"metric": "startup_seconds",
-                          "value": round(sum(STARTUP.values()), 1),
+                          "value": _startup_total(),
                           "unit": "s", "vs_baseline": None,
                           "startup": dict(STARTUP)}))
         return
@@ -694,7 +723,7 @@ def main():
 
 
 def _run_text_tier(cfg, full, state, params, vit_cfg, use_t5, mode,
-                   query_step, startup_only):
+                   query_step, startup_only, imag_cache=None):
     """One text-query tier: build the imagination stack and measure
     (e2e_ms, prefetch_residual_ms).  mode:
       fused        one program incl. the store scan (fastest; its +t5
@@ -707,10 +736,29 @@ def _run_text_tier(cfg, full, state, params, vit_cfg, use_t5, mode,
       two-program  imagination jit -> host uint8 -> query jit (the
                    reference-shaped fallback; pays the image round
                    trip)"""
+    import gc
+
     import jax.numpy as jnp
 
+    # Reuse the already-built stack across attempts of the same
+    # conditioning (retry of a failed tier, fused+t5 -> split+t5
+    # descent): rebuilding pays 30-116 s of param init through the
+    # tunnel per attempt (docs/startup_r05.json).  A use_t5 flip
+    # evicts first -- the T5 tree alone is 4.7 GB and must be freed
+    # before the smaller tier's footprint is measured against the chip.
     t0 = time.perf_counter()
-    imagination = _make_imagination(full, use_t5)
+    if imag_cache is not None and imag_cache.get("use_t5") == use_t5:
+        imagination = imag_cache["imagination"]
+        log(f"textq: reusing the built imagination stack "
+            f"(use_t5={use_t5})")
+    else:
+        if imag_cache:
+            imag_cache.clear()
+            gc.collect()
+        imagination = _make_imagination(full, use_t5)
+        if imag_cache is not None:
+            imag_cache["use_t5"] = use_t5
+            imag_cache["imagination"] = imagination
     _startup("imagination_init", time.perf_counter() - t0)
 
     if mode == "fused":
@@ -837,25 +885,34 @@ def _text_query_phase(cfg, full, state_box, params, vit_cfg, rng,
         tiers.append(("two-program+t5", True, "two-program"))
     tiers.append(("two-program", False, "two-program"))
     names = [t[0] for t in tiers]
-    if precompiled in names:
+    # BENCH_TEXTQ_TIER=<name> pins one tier (fallback A/Bs, debugging).
+    # Applied to the FULL ladder, before the precompiled fast-start
+    # slice: a pin must run the named tier or fail loudly -- silently
+    # measuring a different tier than the one pinned would mislabel the
+    # A/B.  An unknown name (typo, or a +t5 tier under BENCH_T5=0) is
+    # an error, not a fallthrough.
+    pin = os.environ.get("BENCH_TEXTQ_TIER")
+    if pin:
+        if pin not in names:
+            raise ValueError(f"BENCH_TEXTQ_TIER={pin!r} is not a tier "
+                             f"on this ladder; valid: {', '.join(names)}")
+        tiers = [t for t in tiers if t[0] == pin]
+    elif precompiled in names:
         skipped = names[:names.index(precompiled)]
         if skipped:
             log(f"textq: starting at tier {precompiled} (empty-chip "
                 f"precompile already failed: {', '.join(skipped)})")
         tiers = tiers[names.index(precompiled):]
-    # BENCH_TEXTQ_TIER=<name> pins one tier (fallback A/Bs, debugging)
-    pin = os.environ.get("BENCH_TEXTQ_TIER")
-    if pin:
-        tiers = [t for t in tiers if t[0] == pin] or tiers
 
     last_err = None
+    imag_cache = {}    # one-slot: reuse the built stack across attempts
     for name, use_t5, mode in tiers:
         for attempt in range(2):
             gc.collect()                 # free the failed tier's params
             try:
                 res = _run_text_tier(cfg, full, state, params, vit_cfg,
                                      use_t5, mode, query_step,
-                                     startup_only)
+                                     startup_only, imag_cache=imag_cache)
                 _TEXTQ_PATH[0] = name + ("+retry" if attempt else "")
                 _TEXTQ_T5[0] = use_t5
                 return res

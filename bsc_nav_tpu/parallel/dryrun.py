@@ -291,10 +291,13 @@ def dryrun_all(n_devices: int, devices=None) -> None:
     factorizations = [(n_devices, 1, False),
                       (n_devices // mp_mid, mp_mid, True),
                       (1, n_devices, False)]
-    seen = set()
+    # dedup repeated (dp, mp) but MERGE the textq flag: for prime n (or
+    # n=1) the balanced split collapses to (n, 1), and dropping its
+    # textq=True leg would leave the fused text-query program untested
+    # on 2-chip meshes.
+    merged = {}
     for dp, mp, textq in factorizations:
-        if (dp, mp) in seen:
-            continue
-        seen.add((dp, mp))
+        merged[(dp, mp)] = merged.get((dp, mp), False) or textq
+    for (dp, mp), textq in merged.items():
         dryrun_multichip(n_devices, devices=devices, dp=dp, mp=mp,
                          textq=textq)

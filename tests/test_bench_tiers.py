@@ -50,7 +50,7 @@ def _phase(cfg, monkeypatch, outcomes, *, full=True, precompiled=None,
     attempts = {}
 
     def fake_tier(cfg_, full_, state, params, vit_cfg, use_t5, mode,
-                  query_step, startup_only):
+                  query_step, startup_only, imag_cache=None):
         name = mode if not use_t5 else mode + "+t5"
         # map back to ladder names (two-program keeps its dash)
         name = {"fused+t5": "fused+t5", "split+t5": "split+t5",
@@ -127,6 +127,60 @@ def test_pin_env(tiny_cfg, monkeypatch):
     assert [c[0] for c in calls] == ["two-program"]
 
 
+def test_pin_unknown_name_raises(tiny_cfg, monkeypatch):
+    """A typo'd pin must fail loudly, not silently run the whole
+    ladder and label the result with a different tier."""
+    with pytest.raises(ValueError, match="BENCH_TEXTQ_TIER"):
+        _phase(tiny_cfg, monkeypatch, {},
+               env={"BENCH_TEXTQ_TIER": "fussed+t5"})
+
+
+def test_pin_wins_over_precompiled_slice(tiny_cfg, monkeypatch):
+    """A pin names the tier to MEASURE even when the empty-chip
+    precompile already descended past it (deliberate A/B override);
+    previously the post-slice filter matched nothing and the `or`
+    fallback silently ran the sliced ladder instead."""
+    calls, _ = _phase(tiny_cfg, monkeypatch, {}, precompiled="fused",
+                      env={"BENCH_TEXTQ_TIER": "fused+t5"})
+    assert [c[0] for c in calls] == ["fused+t5"]
+
+
+def test_imagination_reused_across_attempts(tiny_cfg, monkeypatch):
+    """Each tier attempt used to rebuild the full imagination stack
+    (30-116 s of param init through the tunnel per attempt,
+    docs/startup_r05.json).  Attempts sharing a use_t5 value must
+    reuse the built stack; a use_t5 flip must evict it first (the T5
+    tree alone is 4.7 GB on the 16 GB chip)."""
+    import bsc_nav_tpu.memory.pipeline as P
+
+    builds = []
+
+    class _FakeImag:
+        pass
+
+    monkeypatch.setattr(
+        bench, "_make_imagination",
+        lambda full, use_t5, abstract=False:
+            builds.append(use_t5) or _FakeImag())
+
+    def boom(*a, **k):
+        raise RuntimeError("deterministic compile crash")
+    monkeypatch.setattr(P, "make_text_query_step", boom)
+    monkeypatch.setattr(P, "make_text_pool_step", boom)
+    monkeypatch.delenv("BENCH_SKIP_TEXTQ", raising=False)
+    monkeypatch.delenv("BENCH_TEXTQ_TIER", raising=False)
+
+    state_box = [init_store(tiny_cfg.memory, store_dtype=jnp.bfloat16)]
+    with pytest.raises(RuntimeError, match="all text-query tiers"):
+        bench._text_query_phase(
+            tiny_cfg, True, state_box, params=None, vit_cfg=None,
+            rng=None, query_step=None)
+    # attempt sequence (2 per tier): fused+t5, split+t5 (T) -> fused,
+    # split (F) -> two-program+t5 (T) -> two-program (F); the one-slot
+    # cache rebuilds only on use_t5 flips
+    assert builds == [True, False, True, False]
+
+
 def test_failed_tier_exception_not_retained(tiny_cfg, monkeypatch):
     """Round-5 run-2 regression: the tier loop kept the failed tier's
     exception OBJECT, whose traceback pinned multi-GB param trees into
@@ -167,6 +221,62 @@ def test_no_t5_keeps_store_dtype(tiny_cfg, monkeypatch):
     assert calls[0][3] == jnp.bfloat16
     assert bench._TEXTQ_STORE[0] == "bfloat16"
     assert bench._TEXTQ_T5[0] is False
+
+
+def test_startup_total_excludes_imag_subtimings(monkeypatch):
+    """The imag_* entries are per-model sub-timings INSIDE the
+    imagination_init interval; summing both double-counted ~30-45 s
+    and failed a genuinely warm --assert-warm run (reported 191.1 s
+    for a true ~146 s wall).  bench._startup_total and
+    warm_start_check.check_warm must both exclude them."""
+    import importlib.util
+    import os as _os
+
+    monkeypatch.setattr(bench, "STARTUP", {
+        "imag_mmdit": 20.0, "imag_t5": 20.0, "imagination_init": 44.0,
+        "text_query": 30.0, "build_step": 5.0})
+    assert bench._startup_total() == 79.0          # not 119.0
+
+    root = _os.path.dirname(_os.path.abspath(bench.__file__))
+    spec = importlib.util.spec_from_file_location(
+        "warm_start_check",
+        _os.path.join(root, "tools", "warm_start_check.py"))
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    ok, problems = m.check_warm(bench.STARTUP, max_each=60.0,
+                                max_total=85.0)
+    assert ok, problems
+
+
+def test_precompile_ladder_reaches_two_program(tiny_cfg, tmp_path,
+                                               monkeypatch):
+    """When every fused/split empty-chip precompile fails, the ladder
+    must pre-seed the two-program fallback's programs too (sampler +
+    query at the generated-image avals) -- otherwise the runtime's
+    last-resort tier cold-compiles BOTH on a loaded chip, round 4's
+    exact failure mode.  Failure markers must land for the dead legs."""
+    import bsc_nav_tpu.memory.pipeline as P
+    from bsc_nav_tpu.memory.pipeline import make_query_step
+    from bsc_nav_tpu.models import vit
+
+    def boom(*a, **k):
+        raise RuntimeError("compile server says no")
+    monkeypatch.setattr(P, "make_text_query_step", boom)
+    monkeypatch.setattr(P, "make_text_pool_step", boom)
+    monkeypatch.setenv("JAX_CACHE_DIR", str(tmp_path))
+    monkeypatch.delenv("BENCH_RETRY_FAILED_PRECOMPILE", raising=False)
+    monkeypatch.delenv("BENCH_T5", raising=False)
+
+    vit_cfg = vit.ViTConfig(img_size=28, patch_size=14, dim=64,
+                            depth=1, heads=2, num_registers=1)
+    qs = make_query_step(tiny_cfg, vit_cfg, compute_dtype=jnp.bfloat16)
+    got = bench._precompile_textq(tiny_cfg, False, vit_cfg,
+                                  jnp.bfloat16, vit_int8=False,
+                                  query_step=qs)
+    assert got == "two-program"
+    markers = {p.name for p in tmp_path.iterdir()}
+    assert "textq_precompile_failed_fused" in markers
+    assert "textq_precompile_failed_split" in markers
 
 
 def test_all_tiers_fail_raises_with_last_error(tiny_cfg, monkeypatch):

@@ -37,6 +37,13 @@ def test_dryrun_multichip_2():
     dryrun_multichip(2)
 
 
+def test_dryrun_multichip_2_textq():
+    """Prime device counts collapse the balanced factorization to
+    (n, 1); the fused text-query leg must still execute there (the
+    dryrun_all dedup used to silently drop it on 2-chip meshes)."""
+    dryrun_multichip(2, textq=True)
+
+
 def test_qkv_tp_permutation():
     """Permutation turns [q|k|v] columns into per-shard blocks
     [q_s|k_s|v_s]; applying it to the weight then chunking by shard

@@ -48,7 +48,12 @@ def check_warm(startup: dict, max_each: float, max_total: float):
     """Returns (ok, problems).  A warm process must pay cache-reload
     time (seconds per program), never compile time (minutes)."""
     problems = []
-    total = sum(startup.values())
+    # imag_* entries are per-model sub-timings INSIDE imagination_init
+    # (bench._make_imagination); summing both double-counts ~30-45 s
+    # and failed a genuinely warm run (observed: reported 191.1 s for a
+    # true 146 s wall).  Same rule as bench._startup_total.
+    total = sum(v for k, v in startup.items()
+                if not k.startswith("imag_"))
     if total > max_total:
         problems.append(f"total startup {total:.1f}s > {max_total}s")
     for name, secs in startup.items():
@@ -63,10 +68,12 @@ def main(argv=None):
     p.add_argument("--seed", action="store_true",
                    help="run twice; the first run seeds the cache")
     p.add_argument("--assert-warm", action="store_true")
-    p.add_argument("--max-each", type=float, default=45.0,
+    p.add_argument("--max-each", type=float, default=60.0,
                    help="per-entry warm budget, seconds (cache reload "
-                        "of the biggest program through the tunnel is "
-                        "~5-20 s; a compile is minutes)")
+                        "of the biggest program through the tunnel "
+                        "measured 20-46 s depending on tunnel load; a "
+                        "compile is minutes, so 60 still separates "
+                        "cleanly)")
     p.add_argument("--max-total", type=float, default=150.0)
     args = p.parse_args(argv)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
